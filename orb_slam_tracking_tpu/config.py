@@ -1,0 +1,299 @@
+"""Typed, validated configuration tree for the TPU-native SLAM tracking engine.
+
+TPU-first replacement for the reference's stringly ``Settings`` class
+(reference: ``Config/Settings.hpp:8-129``), which reads a YAML through
+``cv::FileStorage`` and silently coerces missing keys to zero (see the
+iniThFAST/fastTh key-mismatch quirk, ``Settings.hpp:75-77`` vs
+``Settings.yaml:36-39``). Here every config is a frozen dataclass with explicit
+defaults matching the reference's *documented* operating point, and the YAML
+loader raises on unknown keys instead of zero-filling.
+
+All configs are hashable so they can be passed as static arguments to
+``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import re
+from typing import Tuple
+
+__all__ = [
+    "CameraConfig",
+    "OrbConfig",
+    "MatcherConfig",
+    "InitConfig",
+    "TrackerConfig",
+    "SystemConfig",
+    "load_system_config",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole camera with Brown radial-tangential distortion.
+
+    Mirrors the intrinsics block of the reference settings
+    (``Config/Settings.hpp:28-39``): fx, fy, cx, cy and k1, k2, p1, p2.
+    Image size is part of the config because every shape downstream is static.
+    """
+
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    width: int = 640
+    height: int = 480
+    fps: float = 30.0
+    rgb: bool = True
+
+    def __post_init__(self):
+        if self.fx <= 0 or self.fy <= 0:
+            raise ValueError(f"focal lengths must be positive, got {self.fx}, {self.fy}")
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError("image size must be positive")
+
+    @property
+    def has_distortion(self) -> bool:
+        return any(abs(v) > 0 for v in (self.k1, self.k2, self.p1, self.p2))
+
+    @property
+    def k_tuple(self) -> Tuple[float, ...]:
+        return (self.fx, 0.0, self.cx, 0.0, self.fy, self.cy, 0.0, 0.0, 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class OrbConfig:
+    """ORB extraction operating point.
+
+    Defaults follow the reference's documented thresholds — 1000 features,
+    scale 1.2, 8 levels, FAST thresholds 20/7 (``Settings.yaml:27-33``,
+    ``demo/demo_ORBextractor.cpp:20``) — not the accidental 0/0 the reference
+    demo actually runs with (key-name mismatch, SURVEY §5.6).
+
+    ``max_keypoints`` is the static capacity of all keypoint arrays; the
+    actual number extracted is carried in a validity mask (TPU fixed-shape
+    discipline replacing ``std::vector`` growth).
+    """
+
+    n_features: int = 1000
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: int = 20
+    min_th_fast: int = 7
+    # Static capacity of keypoint arrays (>= n_features, padded with invalid).
+    max_keypoints: int = 0  # 0 => auto: next multiple of 256 >= n_features
+    # Border where no keypoint may live; the reference's EDGE_THRESHOLD=19
+    # (ORBextractor.cpp:90) minus the 3px FAST apron.
+    edge_threshold: int = 19
+    patch_size: int = 31
+    half_patch_size: int = 15
+    # Spatial-uniformity cell target in pixels at each level; the reference's
+    # quadtree converges to ~one max-response keypoint per leaf cell
+    # (ORBextractor.cpp:975-1007); we use a fixed grid at equivalent density.
+    fast_cell_size: int = 35
+
+    def __post_init__(self):
+        if self.n_levels < 1:
+            raise ValueError("n_levels must be >= 1")
+        if self.scale_factor <= 1.0:
+            raise ValueError("scale_factor must be > 1")
+        if self.max_keypoints == 0:
+            cap = ((self.n_features + 255) // 256) * 256
+            object.__setattr__(self, "max_keypoints", cap)
+        if self.max_keypoints < self.n_features:
+            raise ValueError("max_keypoints must be >= n_features")
+
+    def features_per_level(self) -> Tuple[int, ...]:
+        """Geometric per-level feature budget.
+
+        Same math as the reference ctor (``ORBextractor.cpp:529-548``):
+        ``nfeatures*(1-1/s)/(1-(1/s)^L)`` at level 0, scaled by 1/s per level,
+        remainder assigned to the top level.
+        """
+        inv = 1.0 / self.scale_factor
+        n_desired = self.n_features * (1 - inv) / (1 - inv ** self.n_levels)
+        budget = []
+        total = 0
+        for _ in range(self.n_levels - 1):
+            n = int(round(n_desired))
+            budget.append(n)
+            total += n
+            n_desired *= inv
+        budget.append(max(self.n_features - total, 0))
+        return tuple(budget)
+
+    def level_scales(self) -> Tuple[float, ...]:
+        return tuple(self.scale_factor ** i for i in range(self.n_levels))
+
+    def level_shapes(self, height: int, width: int) -> Tuple[Tuple[int, int], ...]:
+        """Static (H, W) of each pyramid level (round like cv::resize)."""
+        shapes = []
+        for s in self.level_scales():
+            shapes.append((int(round(height / s)), int(round(width / s))))
+        return tuple(shapes)
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """Initialization matcher thresholds (``Features/ORBmatcher.cpp:5-7``)."""
+
+    nn_ratio: float = 0.9
+    check_orientation: bool = True
+    th_low: int = 50
+    th_high: int = 100
+    histo_length: int = 30
+    window_size: int = 100  # search radius in px (tracking.cpp:105)
+    # Max matches carried through init (static shape; the reference requires
+    # >= 100 matches, tracking.cpp:105)
+    max_matches: int = 2048
+
+
+@dataclasses.dataclass(frozen=True)
+class InitConfig:
+    """Two-view initialization (``Initialization/Initializer.hpp:20``,
+    ``Initializer.cpp:19-125``)."""
+
+    sigma: float = 1.0
+    ransac_iterations: int = 200  # tracking.cpp:88 (demo uses 2000)
+    min_matches: int = 100        # tracking.cpp:105
+    min_triangulated: int = 50    # Initializer.cpp:527-549
+    min_parallax_deg: float = 1.0
+    # Model selection: RH = SH/(SH+SF) > rh_threshold => homography
+    # (Initializer.cpp:111)
+    rh_threshold: float = 0.5
+    # χ² thresholds at 95%: 2 dof (H symmetric transfer) / 1 dof (F epipolar)
+    chi2_h: float = 5.991
+    chi2_f: float = 3.841
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Full tracking-loop knobs, completing the reference's declared intent
+    (states ``tracking.hpp:58-65``, motion model ``tracking.hpp:110-111``,
+    keyframe bounds ``Config/Settings.hpp:44-46``)."""
+
+    use_motion_model: bool = True
+    min_frames: int = 0
+    max_frames: int = 18  # 18 * fps / 30 at fps=30 (Settings.hpp:46)
+    # Projection-search radius (px) for motion-model matching.
+    projection_radius: float = 15.0
+    # Minimum inliers to accept a tracked pose.
+    min_tracked_inliers: int = 10
+    # Pose-only optimizer rounds with outlier reclassification (ORB-SLAM's 4).
+    pose_opt_rounds: int = 4
+    pose_opt_iters: int = 10
+    huber_delta: float = math.sqrt(5.991)
+    # Map capacities (static shapes).
+    max_keyframes: int = 64
+    max_map_points: int = 8192
+    # Local BA window.
+    ba_window: int = 20
+    ba_iterations: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class SystemConfig:
+    camera: CameraConfig
+    orb: OrbConfig = OrbConfig()
+    matcher: MatcherConfig = MatcherConfig()
+    init: InitConfig = InitConfig()
+    tracker: TrackerConfig = TrackerConfig()
+
+    @property
+    def init_orb(self) -> OrbConfig:
+        """Init-time extractor with 2x the features (tracking.cpp:17-23)."""
+        return dataclasses.replace(
+            self.orb, n_features=2 * self.orb.n_features, max_keypoints=0
+        )
+
+
+# Keys accepted from reference-style YAML (Settings.hpp:18-97), mapped onto
+# the dataclass tree. Both the documented names and the bundled-YAML variant
+# names are accepted to avoid the reference's silent-zero quirk.
+_CAMERA_KEYS = {
+    "Camera.fx": "fx", "Camera.fy": "fy", "Camera.cx": "cx", "Camera.cy": "cy",
+    "Camera.k1": "k1", "Camera.k2": "k2", "Camera.p1": "p1", "Camera.p2": "p2",
+    "Camera.fps": "fps", "Camera.RGB": "rgb",
+    "Camera.width": "width", "Camera.height": "height",
+}
+_ORB_KEYS = {
+    "ORBextractor.nFeatures": "n_features",
+    "ORBextractor.scaleFactor": "scale_factor",
+    "ORBextractor.nLevels": "n_levels",
+    "ORBextractor.iniThFAST": "ini_th_fast",
+    "ORBextractor.fastTh": "ini_th_fast",      # bundled-YAML alias
+    "ORBextractor.minThFAST": "min_th_fast",
+    "ORBextractor.scoreType": None,            # accepted, ignored (FAST score)
+    "ORBextractor.nScoreType": None,
+}
+_TRACKER_KEYS = {"UseMotionModel": "use_motion_model"}
+
+
+def _parse_opencv_yaml(text: str) -> dict:
+    """Parse the subset of OpenCV FileStorage YAML the reference uses.
+
+    The ``%YAML:1.0`` directive is invalid for PyYAML; the documents are flat
+    ``key: scalar`` maps, so a tolerant line parser is enough and avoids an
+    OpenCV dependency.
+    """
+    out = {}
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or line.startswith("%"):
+            continue
+        m = re.match(r"^([\w.]+)\s*:\s*(.+)$", line)
+        if not m:
+            continue
+        key, val = m.group(1), m.group(2).strip().strip('"')
+        try:
+            out[key] = int(val)
+        except ValueError:
+            try:
+                out[key] = float(val)
+            except ValueError:
+                out[key] = val
+    return out
+
+
+def load_system_config(path: str, width: int = 640, height: int = 480,
+                       strict: bool = True) -> SystemConfig:
+    """Load a reference-style ``Settings.yaml`` into a validated SystemConfig.
+
+    Unlike ``cv::FileStorage`` (missing keys coerce to 0, Settings.hpp:75-77),
+    unknown keys raise when ``strict`` and required camera keys must exist.
+    """
+    with open(path) as f:
+        raw = _parse_opencv_yaml(f.read())
+
+    cam_kwargs, orb_kwargs, trk_kwargs = {}, {}, {}
+    for key, val in raw.items():
+        if key in _CAMERA_KEYS:
+            field = _CAMERA_KEYS[key]
+            cam_kwargs[field] = bool(val) if field == "rgb" else val
+        elif key in _ORB_KEYS:
+            field = _ORB_KEYS[key]
+            if field is not None:
+                orb_kwargs[field] = val
+        elif key in _TRACKER_KEYS:
+            trk_kwargs[_TRACKER_KEYS[key]] = bool(val)
+        elif strict:
+            raise KeyError(f"unknown settings key {key!r} in {path}")
+
+    for req in ("fx", "fy", "cx", "cy"):
+        if req not in cam_kwargs:
+            raise KeyError(f"missing required camera key Camera.{req} in {path}")
+    cam_kwargs.setdefault("width", width)
+    cam_kwargs.setdefault("height", height)
+
+    camera = CameraConfig(**cam_kwargs)
+    orb = OrbConfig(**orb_kwargs)
+    tracker = TrackerConfig(**trk_kwargs)
+    fps = camera.fps or 30.0
+    tracker = dataclasses.replace(tracker, max_frames=int(18 * fps / 30))
+    return SystemConfig(camera=camera, orb=orb, tracker=tracker)
