@@ -97,6 +97,10 @@ class OrbConfig:
     # quadtree converges to ~one max-response keypoint per leaf cell
     # (ORBextractor.cpp:975-1007); we use a fixed grid at equivalent density.
     fast_cell_size: int = 35
+    # Cell size (px) of the top-1-per-cell selection grid replacing the
+    # quadtree (ops/select.py); cell count per level must exceed that
+    # level's feature budget.
+    select_cell_size: int = 12
 
     def __post_init__(self):
         if self.n_levels < 1:

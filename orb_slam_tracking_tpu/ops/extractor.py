@@ -1,0 +1,84 @@
+"""ORB extraction orchestrator: pyramid -> FAST -> select -> orient -> rBRIEF.
+
+TPU-native equivalent of ``ORBextractor::operator()``
+(``Features/ORBextractor.cpp:1531-1653``): one jittable function from a
+float32 image to a fixed-capacity ``Keypoints`` pytree. All shapes are a
+static function of (image shape, OrbConfig); occupancy is carried in the
+validity mask. Per-level work is a static Python loop (levels have
+different static shapes, so they are separate XLA computations fused into
+one program).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import OrbConfig
+from ..types import Keypoints
+from .brief import descriptors_at
+from .fast import detect_level
+from .orientation import angles_at, moment_maps
+from .pattern import EDGE_THRESHOLD, PATCH_SIZE
+from .pyramid import build_pyramid, gaussian_blur
+from .select import select_level
+
+__all__ = ["orb_extract"]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def orb_extract(image: jnp.ndarray, cfg: OrbConfig) -> Keypoints:
+    """Extract ORB keypoints + descriptors from ``image [H, W] float32``.
+
+    Returns a ``Keypoints`` with capacity ``cfg.max_keypoints``; the first
+    ``sum(cfg.features_per_level())`` rows hold per-level results (invalid
+    rows interleaved where a level found fewer corners than its budget).
+    """
+    budgets = cfg.features_per_level()
+    scales = cfg.level_scales()
+    levels = build_pyramid(image, cfg, pad=EDGE_THRESHOLD)
+
+    xs, resps, angs, octs, sizes, descs, valids = [], [], [], [], [], [], []
+    for lvl, padded in enumerate(levels):
+        score = detect_level(
+            padded, cfg.ini_th_fast, cfg.min_th_fast, cfg.fast_cell_size
+        )
+        xy_l, resp, valid = select_level(score, budgets[lvl], cfg.select_cell_size)
+        m10, m01 = moment_maps(padded)
+        ang = angles_at(m10, m01, xy_l)
+        blurred = gaussian_blur(padded)
+        desc = descriptors_at(blurred, xy_l, ang)
+
+        s = scales[lvl]
+        xs.append(xy_l * s)
+        resps.append(resp)
+        angs.append(ang)
+        octs.append(jnp.full((budgets[lvl],), lvl, dtype=jnp.int32))
+        sizes.append(jnp.full((budgets[lvl],), PATCH_SIZE * s, dtype=jnp.float32))
+        descs.append(desc)
+        valids.append(valid)
+
+    xy = jnp.concatenate(xs)
+    response = jnp.concatenate(resps)
+    angle = jnp.concatenate(angs)
+    octave = jnp.concatenate(octs)
+    size = jnp.concatenate(sizes)
+    desc = jnp.concatenate(descs)
+    valid = jnp.concatenate(valids)
+
+    n = xy.shape[0]
+    cap = cfg.max_keypoints
+    if cap < n:
+        raise ValueError(f"max_keypoints {cap} < total budget {n}")
+    pad_n = cap - n
+    return Keypoints(
+        xy=jnp.pad(xy, ((0, pad_n), (0, 0))),
+        response=jnp.pad(response, (0, pad_n)),
+        angle_deg=jnp.pad(angle, (0, pad_n)),
+        octave=jnp.pad(octave, (0, pad_n)),
+        size=jnp.pad(size, (0, pad_n)),
+        desc=jnp.pad(desc, ((0, pad_n), (0, 0))),
+        valid=jnp.pad(valid, (0, pad_n)),
+    )

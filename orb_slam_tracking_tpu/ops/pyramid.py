@@ -1,0 +1,80 @@
+"""Image pyramid with reflect borders and separable Gaussian blur.
+
+TPU-native replacement for ``ORBextractor::ComputePyramid``
+(``Features/ORBextractor.cpp:1660-1713``): per level, resize the previous
+level by 1/scale (bilinear) and surround it with a 19-px BORDER_REFLECT_101
+apron. The reference keeps the apron as hidden out-of-bounds memory of a
+larger ``cv::Mat``; here each level is stored *with* its apron explicitly —
+shape ``[H_l + 38, W_l + 38]`` — and keypoint coordinates are level-local
+(the +19 offset is applied only where pixels are sampled).
+
+Everything is static-shape: level sizes are a pure function of the config,
+computed host-side (``OrbConfig.level_shapes``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import OrbConfig
+from .pattern import EDGE_THRESHOLD
+
+__all__ = ["reflect_pad", "gaussian_blur", "build_pyramid", "GAUSS7_SIGMA2"]
+
+
+def reflect_pad(img: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """BORDER_REFLECT_101 padding (edge pixel not duplicated), 2D."""
+    return jnp.pad(img, ((pad, pad), (pad, pad)), mode="reflect")
+
+
+def _gauss_kernel_1d(ksize: int, sigma: float) -> jnp.ndarray:
+    r = ksize // 2
+    x = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    k = jnp.exp(-(x * x) / (2.0 * sigma * sigma))
+    return k / jnp.sum(k)
+
+
+GAUSS7_SIGMA2 = (7, 2.0)  # the reference's blur before descriptors
+                          # (ORBextractor.cpp:1601-1606)
+
+
+def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.ndarray:
+    """Separable Gaussian with BORDER_REFLECT_101, matching
+    ``cv::GaussianBlur(..., Size(7,7), 2, 2, BORDER_REFLECT_101)``."""
+    k = _gauss_kernel_1d(ksize, sigma)
+    r = ksize // 2
+    p = jnp.pad(img, ((r, r), (r, r)), mode="reflect")
+    # rows then cols, via conv_general_dilated on a [1,1,H,W] layout
+    x = p[None, None, :, :]
+    kr = k[None, None, None, :]
+    x = jax.lax.conv_general_dilated(x, kr, (1, 1), "VALID")
+    kc = k[None, None, :, None]
+    x = jax.lax.conv_general_dilated(x, kc, (1, 1), "VALID")
+    return x[0, 0]
+
+
+def _resize_bilinear(img: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize with half-pixel centers (cv::resize INTER_LINEAR
+    semantics; jax.image.resize 'linear' uses the same convention)."""
+    return jax.image.resize(img, shape, method="linear")
+
+
+def build_pyramid(
+    image: jnp.ndarray, cfg: OrbConfig, pad: int = EDGE_THRESHOLD
+) -> List[jnp.ndarray]:
+    """``image [H, W] float32`` -> list of ``n_levels`` padded level images
+    ``[H_l + 2*pad, W_l + 2*pad]``. Level l is resized from level l-1
+    (cascaded, as the reference does) rather than from level 0 — the
+    repeated low-pass matters for FAST stability at high octaves."""
+    h, w = image.shape
+    shapes = cfg.level_shapes(h, w)
+    levels = []
+    cur = image
+    for lvl, (hl, wl) in enumerate(shapes):
+        if lvl > 0:
+            cur = _resize_bilinear(cur, (hl, wl))
+        levels.append(reflect_pad(cur, pad))
+    return levels
