@@ -37,6 +37,8 @@ def init_images():
     return [load_gray(p) for p in INIT_IMAGES]
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test draws the same sequence regardless of
+    # execution order
     return np.random.default_rng(0)
