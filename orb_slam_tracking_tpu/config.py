@@ -185,8 +185,13 @@ class TrackerConfig:
     use_motion_model: bool = True
     min_frames: int = 0
     max_frames: int = 18  # 18 * fps / 30 at fps=30 (Settings.hpp:46)
-    # Projection-search radius (px) for motion-model matching.
+    # Projection-search radius (px) for motion-model matching (stage 1),
+    # scaled per keypoint octave like ORB-SLAM's th*scaleFactor^octave.
     projection_radius: float = 15.0
+    # Tight re-match radius for the local-map stage after the first pose
+    # optimization (ORB-SLAM SearchByProjection uses ~2.5-4 px here); this
+    # is the main guard against association drift along flat cost valleys.
+    local_map_radius: float = 3.0
     # Minimum inliers to accept a tracked pose.
     min_tracked_inliers: int = 10
     # Pose-only optimizer rounds with outlier reclassification (ORB-SLAM's 4).

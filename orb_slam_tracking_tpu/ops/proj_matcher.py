@@ -1,0 +1,109 @@
+"""Projection-guided map-point -> keypoint matching (motion-model tracking).
+
+TPU-native equivalent of ORB-SLAM's ``SearchByProjection`` — the matcher
+the reference *declares* for its constant-velocity ``WORKING`` state
+(``tracking.hpp:110-111`` mVelocity "used for TrackWithMotionModel";
+``Settings.yaml:42-43`` UseMotionModel) but never implemented. Map points
+are projected with the predicted pose; each valid projection searches
+keypoints inside a radius window via the same MXU Hamming matmul as the
+init matcher, keeping the best keypoint under TH_HIGH with mutual
+resolution.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MatcherConfig
+from .hamming import hamming_matrix
+
+__all__ = ["ProjMatchResult", "search_by_projection"]
+
+
+class ProjMatchResult(NamedTuple):
+    kp_for_point: jnp.ndarray  # [P] int32 keypoint index or -1
+    point_for_kp: jnp.ndarray  # [N] int32 map-point index or -1 (inverse)
+    uv_proj: jnp.ndarray       # [P, 2] projected pixel of each map point
+    n_matches: jnp.ndarray     # [] int32
+    n_visible: jnp.ndarray     # [] int32 points projecting inside the image
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "height"))
+def search_by_projection(
+    map_pts: jnp.ndarray,
+    map_desc: jnp.ndarray,
+    map_valid: jnp.ndarray,
+    R: jnp.ndarray,
+    t: jnp.ndarray,
+    K: jnp.ndarray,
+    kp_desc: jnp.ndarray,
+    kp_xy: jnp.ndarray,
+    kp_valid: jnp.ndarray,
+    radius: float,
+    cfg: MatcherConfig,
+    width: int,
+    height: int,
+    kp_octave: jnp.ndarray | None = None,
+    scale_factor: float = 1.2,
+) -> ProjMatchResult:
+    """Match map points to current-frame keypoints around their projections.
+
+    map_pts: [P, 3] world points; R, t: predicted world-to-camera pose;
+    kp_xy: [N, 2] undistorted keypoint pixels; radius: base search window
+    in px — scaled by the keypoint's octave scale when ``kp_octave`` is
+    given (ORB-SLAM's ``th * mvScaleFactors[octave]`` windowing).
+    """
+    P = map_pts.shape[0]
+    N = kp_desc.shape[0]
+    pc = map_pts @ R.T + t
+    z = pc[..., 2]
+    zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = K[0, 0] * pc[..., 0] * zi + K[0, 2]
+    v = K[1, 1] * pc[..., 1] * zi + K[1, 2]
+    uv = jnp.stack([u, v], axis=-1)
+
+    in_front = z > 0.1
+    in_image = (u >= 0) & (u < width) & (v >= 0) & (v < height)
+    visible = map_valid & in_front & in_image
+
+    D = hamming_matrix(map_desc, kp_desc)  # [P, N]
+    dx = jnp.abs(uv[:, 0:1] - kp_xy[None, :, 0])
+    dy = jnp.abs(uv[:, 1:2] - kp_xy[None, :, 1])
+    if kp_octave is not None:
+        r_eff = radius * scale_factor ** kp_octave.astype(jnp.float32)  # [N]
+        r_eff = r_eff[None, :]
+    else:
+        r_eff = radius
+    eligible = (
+        visible[:, None] & kp_valid[None, :] & (dx <= r_eff) & (dy <= r_eff)
+    )
+    big = jnp.int32(1 << 20)
+    Dm = jnp.where(eligible, D, big)
+
+    best = jnp.min(Dm, axis=1)
+    best_j = jnp.argmin(Dm, axis=1)
+    accept = (best <= cfg.th_high) & visible
+
+    # mutual: one map point per keypoint (closest wins, index tiebreak)
+    sentinel = jnp.int32(jnp.iinfo(jnp.int32).max)
+    rows = jnp.arange(P, dtype=jnp.int32)
+    key = jnp.where(accept, best * jnp.int32(P) + rows, sentinel)
+    min_key = jnp.full((N,), sentinel, dtype=jnp.int32).at[best_j].min(key)
+    keep = accept & (key == min_key[best_j])
+
+    kp_for_point = jnp.where(keep, best_j.astype(jnp.int32), -1)
+    point_for_kp = jnp.full((N,), -1, dtype=jnp.int32)
+    point_for_kp = point_for_kp.at[jnp.where(keep, best_j, N)].set(
+        rows, mode="drop"
+    )
+    return ProjMatchResult(
+        kp_for_point=kp_for_point,
+        point_for_kp=point_for_kp,
+        uv_proj=uv,
+        n_matches=jnp.sum(keep.astype(jnp.int32)),
+        n_visible=jnp.sum(visible.astype(jnp.int32)),
+    )

@@ -1,0 +1,170 @@
+"""Pose-only optimization: LM over SE(3) with Huber weights and staged
+outlier reclassification.
+
+TPU-native equivalent of ORB-SLAM's ``PoseOptimization`` built on the
+vendored g2o stack the reference carries (``VertexSE3Expmap`` +
+``EdgeSE3ProjectXYZOnlyPose``, ``Thirdparty/g2o/g2o/types/
+types_six_dof_expmap.h:53-103``; LM loop ``optimization_algorithm_
+levenberg.cpp:61-164``): minimize reprojection error of known 3D map
+points over the camera pose only, with
+
+- analytic Jacobians of the pinhole projection w.r.t. a left-multiplied
+  se(3) increment (same linearization as ``linearizeOplus``),
+- Huber kernel at delta = sqrt(5.991) (``robust_kernel_impl.h:76``),
+- ORB-SLAM's 4-round schedule: optimize, reclassify outliers by chi2
+  against 5.991 * sigma2(octave), re-optimize with outliers excluded
+  (their "setLevel(1)"), dropping the robust kernel in late rounds,
+- Nielsen lambda control.
+
+Everything is fixed-shape; the rounds and LM iterations are static loops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .lm import huber_weight, nielsen_update, solve_damped
+from ..geometry import se3
+
+__all__ = ["PoseOptResult", "optimize_pose"]
+
+_CHI2_TH = 5.991  # 95% for 2 dof
+
+
+class PoseOptResult(NamedTuple):
+    R: jnp.ndarray          # [3, 3] optimized world-to-camera rotation
+    t: jnp.ndarray          # [3]
+    inlier: jnp.ndarray     # [N] bool final inlier classification
+    n_inliers: jnp.ndarray  # [] int32
+    chi2: jnp.ndarray       # [] float final robust cost over inliers
+
+
+def _residuals_jac(R, t, pts, uv, fx, fy, cx, cy):
+    """Reprojection residuals [N, 2] and Jacobians [N, 2, 6] w.r.t. a
+    left-multiplied increment xi = (omega, v): T <- exp(xi) T."""
+    pc = pts @ R.T + t                       # [N, 3] camera-frame points
+    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = fx * x * zi + cx
+    v = fy * y * zi + cy
+    r = jnp.stack([u, v], axis=-1) - uv      # [N, 2]
+
+    # d(uv)/d(pc): [N, 2, 3]
+    zero = jnp.zeros_like(x)
+    J_proj = jnp.stack(
+        [
+            jnp.stack([fx * zi, zero, -fx * x * zi * zi], axis=-1),
+            jnp.stack([zero, fy * zi, -fy * y * zi * zi], axis=-1),
+        ],
+        axis=-2,
+    )
+    # d(pc)/d(xi) = [-[pc]_x | I]: [N, 3, 6]
+    J_pc = jnp.concatenate(
+        [-se3.hat(pc), jnp.broadcast_to(jnp.eye(3), pc.shape[:-1] + (3, 3))], axis=-1
+    )
+    J = J_proj @ J_pc                        # [N, 2, 6]
+    return r, J, z
+
+
+def _lm_rounds(R, t, pts, uv, inv_sigma2, active, fx, fy, cx, cy,
+               iters: int, use_huber: bool, delta_scale: float = 1.0):
+    """One optimization stage: `iters` LM steps over the active subset.
+
+    ``delta_scale`` widens the Huber threshold: a tight kernel (delta ~
+    2.45 px) turns a coherent multi-pixel prediction error into a flat
+    robust cost with spurious local minima; the first round therefore runs
+    with a widened kernel so the quadratic basin captures the pose, and
+    later rounds tighten back (graduated non-convexity).
+    """
+    delta2 = _CHI2_TH * delta_scale
+
+    def cost_fn(Rc, tc):
+        r, _, _ = _residuals_jac(Rc, tc, pts, uv, fx, fy, cx, cy)
+        chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+        if use_huber:
+            # robust cost: quadratic inside, linear outside
+            rho = jnp.where(
+                chi2 <= delta2, chi2, 2.0 * jnp.sqrt(delta2 * chi2) - delta2
+            )
+        else:
+            rho = chi2
+        return jnp.sum(jnp.where(active, rho, 0.0))
+
+    def step(carry, _):
+        Rc, tc, lam, nu, cost = carry
+        r, J, _ = _residuals_jac(Rc, tc, pts, uv, fx, fy, cx, cy)
+        chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+        w = huber_weight(chi2, delta2) if use_huber else jnp.ones_like(chi2)
+        w = jnp.where(active, w * inv_sigma2, 0.0)
+        H = jnp.einsum("nri,n,nrj->ij", J, w, J)
+        b = jnp.einsum("nri,n,nr->i", J, w, r)
+        dx = solve_damped(H, -b, lam)
+        dR, dt = se3.se3_exp(dx)
+        R_new = dR @ Rc
+        t_new = dR @ tc + dt
+        new_cost = cost_fn(R_new, t_new)
+        # predicted decrease of the quadratic model given the damped step:
+        # 0.5 * dx^T (lam * D dx - b)   (g2o's rho denominator)
+        pred = 0.5 * jnp.dot(dx, lam * jnp.diagonal(H) * dx - b)
+        rho_gain = (cost - new_cost) / jnp.maximum(jnp.abs(pred), 1e-9)
+        lam_new, nu_new = nielsen_update(lam, nu, rho_gain)
+        good = new_cost < cost
+        Rc = jnp.where(good, R_new, Rc)
+        tc = jnp.where(good, t_new, tc)
+        cost = jnp.where(good, new_cost, cost)
+        return (Rc, tc, lam_new, nu_new, cost), None
+
+    cost0 = cost_fn(R, t)
+    (R, t, _, _, cost), _ = jax.lax.scan(
+        step, (R, t, jnp.float32(1e-4), jnp.float32(2.0), cost0), None, length=iters
+    )
+    return R, t, cost
+
+
+@partial(jax.jit, static_argnames=("rounds", "iters_per_round"))
+def optimize_pose(
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    pts: jnp.ndarray,
+    uv: jnp.ndarray,
+    inv_sigma2: jnp.ndarray,
+    valid: jnp.ndarray,
+    K: jnp.ndarray,
+    rounds: int = 4,
+    iters_per_round: int = 10,
+) -> PoseOptResult:
+    """Optimize a world-to-camera pose against known 3D points.
+
+    R0, t0: initial pose. pts: [N, 3] world points. uv: [N, 2] observed
+    (undistorted) pixels. inv_sigma2: [N] per-observation information
+    (1/1.2^(2*octave) in ORB-SLAM). valid: [N] mask. K: [3, 3].
+    """
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    R, t = R0, t0
+    inlier = valid
+    for rnd in range(rounds):
+        use_huber = rnd < 2  # ORB-SLAM drops the robust kernel in late rounds
+        # graduated kernel: wide basin first, nominal afterwards
+        delta_scale = 25.0 if rnd == 0 else 1.0
+        R, t, cost = _lm_rounds(
+            R, t, pts, uv, inv_sigma2, inlier, fx, fy, cx, cy,
+            iters_per_round, use_huber, delta_scale,
+        )
+        # reclassify against the full set each round (an outlier can return)
+        r, _, z = _residuals_jac(R, t, pts, uv, fx, fy, cx, cy)
+        chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+        inlier = valid & (chi2 <= _CHI2_TH) & (z > 0)
+    r, _, z = _residuals_jac(R, t, pts, uv, fx, fy, cx, cy)
+    chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+    final_cost = jnp.sum(jnp.where(inlier, chi2, 0.0))
+    return PoseOptResult(
+        R=R,
+        t=t,
+        inlier=inlier,
+        n_inliers=jnp.sum(inlier.astype(jnp.int32)),
+        chi2=final_cost,
+    )

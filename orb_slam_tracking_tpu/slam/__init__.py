@@ -1,0 +1,2 @@
+from .map import SlamMap, empty_map  # noqa: F401
+from .tracker import Tracker, TrackState  # noqa: F401

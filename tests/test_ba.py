@@ -1,0 +1,119 @@
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam_tracking_tpu.geometry import se3
+from orb_slam_tracking_tpu.optim.ba import bundle_adjust, inv3x3
+
+K = np.array([[450.0, 0, 320], [0, 450, 240], [0, 0, 1]], np.float32)
+
+
+def test_inv3x3(rng):
+    M = rng.standard_normal((32, 3, 3)).astype(np.float32)
+    M = M @ np.swapaxes(M, -1, -2) + 0.5 * np.eye(3)  # SPD
+    got = np.asarray(inv3x3(jnp.asarray(M)))
+    np.testing.assert_allclose(got, np.linalg.inv(M), rtol=2e-3, atol=2e-4)
+
+
+def _ba_problem(rng, nK=6, nP=150, noise_px=0.5, depth_noise=0.02,
+                pose_noise=0.01):
+    pts_gt = np.stack(
+        [rng.uniform(-2, 2, nP), rng.uniform(-1.5, 1.5, nP), rng.uniform(3, 8, nP)],
+        -1,
+    ).astype(np.float32)
+    kf_R, kf_t = [], []
+    for k in range(nK):
+        yaw = np.radians(1.5 * k)
+        Rwc = np.array(
+            [[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0], [-np.sin(yaw), 0, np.cos(yaw)]],
+            np.float32,
+        )
+        c = np.array([-0.3 * k, 0.02 * k, 0.05 * k], np.float32)
+        R = Rwc.T
+        kf_R.append(R)
+        kf_t.append(-R @ c)
+    kf_R = np.stack(kf_R)
+    kf_t = np.stack(kf_t)
+    obs_kf = np.repeat(np.arange(nK), nP).astype(np.int32)
+    obs_pt = np.tile(np.arange(nP), nK).astype(np.int32)
+    pc = np.einsum("kij,pj->kpi", kf_R, pts_gt) + kf_t[:, None, :]
+    uv = (pc[..., :2] / pc[..., 2:]) * [450, 450] + [320, 240]
+    obs_uv = (uv.reshape(-1, 2) + rng.normal(0, noise_px, (nK * nP, 2))).astype(np.float32)
+    pts0 = pts_gt * (1 + rng.normal(0, depth_noise, (nP, 1))).astype(np.float32)
+    xi = rng.normal(0, pose_noise, (nK, 6)).astype(np.float32)
+    xi[0] = 0
+    dR, dt = se3.se3_exp(jnp.asarray(xi))
+    kf_R0 = np.asarray(dR) @ kf_R
+    kf_t0 = np.einsum("kij,kj->ki", np.asarray(dR), kf_t) + np.asarray(dt)
+    return (pts_gt, kf_R, kf_t, pts0, kf_R0, kf_t0, obs_kf, obs_pt, obs_uv)
+
+
+def test_ba_converges_to_ground_truth(rng):
+    nK, nP = 6, 150
+    pts_gt, kf_Rg, kf_tg, pts0, kf_R0, kf_t0, obs_kf, obs_pt, obs_uv = _ba_problem(rng)
+    fixed = np.zeros(nK, bool)
+    fixed[0] = True
+    O = len(obs_kf)
+    res = bundle_adjust(
+        jnp.asarray(kf_R0), jnp.asarray(kf_t0), jnp.asarray(pts0),
+        jnp.asarray(obs_kf), jnp.asarray(obs_pt), jnp.asarray(obs_uv),
+        jnp.ones(O), jnp.ones(O, bool), jnp.asarray(fixed), jnp.ones(nP, bool),
+        jnp.asarray(K), iterations=15,
+    )
+    assert float(res.cost) < float(res.cost0) / 10
+    for k in range(1, nK):
+        Re = np.asarray(res.kf_R)[k]
+        rerr = np.degrees(
+            np.arccos(np.clip((np.trace(Re.T @ kf_Rg[k]) - 1) / 2, -1, 1))
+        )
+        assert rerr < 0.1, f"cam {k} rot err {rerr}"
+    # structure improves substantially
+    e0 = np.median(np.linalg.norm(pts0 - pts_gt, axis=-1))
+    e1 = np.median(np.linalg.norm(np.asarray(res.pts) - pts_gt, axis=-1))
+    assert e1 < e0 * 0.5
+    assert int(res.obs_inlier.sum()) == O
+
+
+def test_fixed_cameras_do_not_move(rng):
+    nK, nP = 6, 150
+    _, _, _, pts0, kf_R0, kf_t0, obs_kf, obs_pt, obs_uv = _ba_problem(rng)
+    fixed = np.zeros(nK, bool)
+    fixed[:3] = True
+    O = len(obs_kf)
+    res = bundle_adjust(
+        jnp.asarray(kf_R0), jnp.asarray(kf_t0), jnp.asarray(pts0),
+        jnp.asarray(obs_kf), jnp.asarray(obs_pt), jnp.asarray(obs_uv),
+        jnp.ones(O), jnp.ones(O, bool), jnp.asarray(fixed), jnp.ones(nP, bool),
+        jnp.asarray(K), iterations=5,
+    )
+    np.testing.assert_array_equal(np.asarray(res.kf_R)[:3], kf_R0[:3])
+    np.testing.assert_array_equal(np.asarray(res.kf_t)[:3], kf_t0[:3])
+
+
+def test_invalid_obs_and_points_ignored(rng):
+    nK, nP = 4, 80
+    _, _, _, pts0, kf_R0, kf_t0, obs_kf, obs_pt, obs_uv = _ba_problem(
+        rng, nK=nK, nP=nP
+    )
+    O = len(obs_kf)
+    obs_valid = np.ones(O, bool)
+    obs_uv_bad = obs_uv.copy()
+    obs_uv_bad[obs_valid.nonzero()[0][:50]] += 300  # corrupt 50 obs
+    obs_valid[:50] = False                          # ...but mark invalid
+    fixed = np.zeros(nK, bool)
+    fixed[0] = True
+    res_bad = bundle_adjust(
+        jnp.asarray(kf_R0), jnp.asarray(kf_t0), jnp.asarray(pts0),
+        jnp.asarray(obs_kf), jnp.asarray(obs_pt), jnp.asarray(obs_uv_bad),
+        jnp.ones(O), jnp.asarray(obs_valid), jnp.asarray(fixed),
+        jnp.ones(nP, bool), jnp.asarray(K), iterations=8,
+    )
+    res_ref = bundle_adjust(
+        jnp.asarray(kf_R0), jnp.asarray(kf_t0), jnp.asarray(pts0),
+        jnp.asarray(obs_kf), jnp.asarray(obs_pt), jnp.asarray(obs_uv),
+        jnp.ones(O), jnp.asarray(obs_valid), jnp.asarray(fixed),
+        jnp.ones(nP, bool), jnp.asarray(K), iterations=8,
+    )
+    # corrupting invalid observations must not change the result
+    np.testing.assert_allclose(
+        np.asarray(res_bad.kf_t), np.asarray(res_ref.kf_t), atol=1e-6
+    )

@@ -1,0 +1,83 @@
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam_tracking_tpu.geometry import se3
+from orb_slam_tracking_tpu.optim.pose_opt import optimize_pose
+
+K = np.array([[600.0, 0, 376], [0, 600, 240], [0, 0, 1]], np.float32)
+
+
+def _scene(rng, n=200):
+    pts = np.stack(
+        [rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n), rng.uniform(2, 8, n)], -1
+    ).astype(np.float32)
+    return pts
+
+
+def _project(pts, R, t):
+    pc = pts @ R.T + t
+    return (pc[:, :2] / pc[:, 2:]) * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+
+
+def test_recovers_pose_with_outliers(rng):
+    n = 200
+    pts = _scene(rng, n)
+    xi_true = np.array([0.05, -0.03, 0.02, 0.2, -0.1, 0.15], np.float32)
+    Rt, tt = se3.se3_exp(jnp.asarray(xi_true))
+    uv = _project(pts, np.asarray(Rt), np.asarray(tt))
+    uv = (uv + rng.normal(0, 0.5, (n, 2))).astype(np.float32)
+    uv[:40] += rng.uniform(20, 80, (40, 2)) * rng.choice([-1, 1], (40, 2))
+    xi0 = xi_true + np.array([0.02, 0.01, -0.015, 0.1, 0.05, -0.08], np.float32)
+    R0, t0 = se3.se3_exp(jnp.asarray(xi0))
+    res = optimize_pose(
+        R0, t0, jnp.asarray(pts), jnp.asarray(uv), jnp.ones(n),
+        jnp.ones(n, bool), jnp.asarray(K),
+    )
+    assert int(res.n_inliers) == 160
+    inl = np.asarray(res.inlier)
+    assert (~inl[:40]).all() and inl[40:].all()
+    rerr = np.degrees(
+        np.arccos(np.clip((np.trace(np.asarray(res.R).T @ np.asarray(Rt)) - 1) / 2, -1, 1))
+    )
+    assert rerr < 0.1
+    assert np.linalg.norm(np.asarray(res.t) - np.asarray(tt)) < 5e-3
+
+
+def test_large_basin_convergence(rng):
+    """Must converge from a 4-degree / large-translation offset (the
+    graduated Huber kernel widens the basin; a tight kernel strands the
+    pose in a local minimum)."""
+    n = 250
+    pts = _scene(rng, n)
+    uv = (_project(pts, np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+          + rng.normal(0, 0.5, (n, 2))).astype(np.float32)
+    w = rng.standard_normal(3)
+    w = w / np.linalg.norm(w) * np.radians(4.0)
+    v = rng.standard_normal(3) * 0.1
+    dR, dt = se3.se3_exp(jnp.asarray(np.concatenate([w, v]).astype(np.float32)))
+    res = optimize_pose(
+        dR, dt, jnp.asarray(pts), jnp.asarray(uv), jnp.ones(n),
+        jnp.ones(n, bool), jnp.asarray(K),
+    )
+    rerr = np.degrees(
+        np.arccos(np.clip((np.trace(np.asarray(res.R)) - 1) / 2, -1, 1))
+    )
+    assert rerr < 0.05
+    assert np.linalg.norm(np.asarray(res.t)) < 5e-3
+
+
+def test_respects_validity_mask(rng):
+    n = 100
+    pts = _scene(rng, n)
+    uv = _project(pts, np.eye(3, dtype=np.float32), np.zeros(3, np.float32)).astype(np.float32)
+    # corrupt the masked-out half wildly; they must not affect the result
+    uv_bad = uv.copy()
+    uv_bad[50:] += 500.0
+    valid = np.zeros(n, bool)
+    valid[:50] = True
+    res = optimize_pose(
+        jnp.eye(3), jnp.zeros(3), jnp.asarray(pts), jnp.asarray(uv_bad),
+        jnp.ones(n), jnp.asarray(valid), jnp.asarray(K),
+    )
+    assert int(res.n_inliers) == 50
+    assert np.linalg.norm(np.asarray(res.t)) < 1e-4

@@ -1,0 +1,88 @@
+"""Closed-loop tracking on rendered synthetic sequences with exact ground
+truth (SURVEY.md §4: no automated tests exist in the reference; the TUM
+sequences the driver benchmarks are not bundled, so ground-truth parity is
+established on rendered scenes)."""
+
+import numpy as np
+import pytest
+
+from orb_slam_tracking_tpu.config import (
+    CameraConfig,
+    OrbConfig,
+    SystemConfig,
+    TrackerConfig,
+)
+from orb_slam_tracking_tpu.slam import Tracker, TrackState
+from orb_slam_tracking_tpu.utils.metrics import ate_rmse, umeyama_alignment
+from orb_slam_tracking_tpu.utils.synthetic import (
+    CornerField,
+    make_trajectory,
+    render_frame,
+)
+
+CAM = CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=240.0, width=640, height=480)
+
+
+def _run_sequence(rng, n_frames=30, mode="strafe", n_points=900):
+    cfg = SystemConfig(
+        camera=CAM,
+        orb=OrbConfig(n_features=1000),
+        tracker=TrackerConfig(max_map_points=2048, max_keyframes=16, ba_window=8),
+    )
+    field = CornerField(rng, n=n_points)
+    poses = make_trajectory(n_frames, mode)
+    frames = [render_frame(field, CAM, R, t) for R, t in poses]
+    tr = Tracker(cfg)
+    rot_errs = []
+    for i, f in enumerate(frames):
+        tr.track(f, i / 30.0)
+        if tr.state == TrackState.WORKING:
+            Rg, _ = poses[i]
+            rot_errs.append(
+                float(np.degrees(np.arccos(np.clip((np.trace(tr.R.T @ Rg) - 1) / 2, -1, 1))))
+            )
+    return tr, poses, rot_errs
+
+
+def test_umeyama_alignment_exact(rng):
+    src = rng.standard_normal((50, 3))
+    R = np.linalg.qr(rng.standard_normal((3, 3)))[0]
+    if np.linalg.det(R) < 0:
+        R[:, 0] *= -1
+    t = rng.standard_normal(3)
+    s = 2.5
+    dst = s * src @ R.T + t
+    Re, te, se = umeyama_alignment(src, dst)
+    np.testing.assert_allclose(Re, R, atol=1e-6)
+    np.testing.assert_allclose(se, s, atol=1e-6)
+    assert ate_rmse(src, dst) < 1e-6
+
+
+def test_closed_loop_tracking_strafe(rng):
+    tr, poses, rot_errs = _run_sequence(rng)
+    # initializes within the first frames and stays in WORKING
+    assert tr.state == TrackState.WORKING
+    assert len(rot_errs) >= 20
+    # rotation error bounded (no drift ratchet): < 1 deg throughout — the
+    # failure mode this guards against grows past 10 deg within 15 frames
+    assert max(rot_errs) < 1.0, f"rotation drift: {rot_errs}"
+    # trajectory accuracy after Sim(3) alignment
+    est = {fid: (-R.T @ t) for fid, ts, R, t in tr.trajectory}
+    gt = {i: (-poses[i][0].T @ poses[i][1]) for i in range(len(poses))}
+    common = sorted(set(est) & set(gt))
+    ate = ate_rmse(
+        np.stack([est[i] for i in common]), np.stack([gt[i] for i in common])
+    )
+    # scene scale ~1.2 units of travel; 0.02 units ~ 2% of trajectory
+    assert ate < 0.02, f"ATE {ate}"
+    # map was built and BA ran
+    assert tr.n_kf >= 4
+    assert int(tr.map.n_points()) > 100
+
+
+def test_tracking_survives_map_growth(rng):
+    tr, poses, rot_errs = _run_sequence(rng, n_frames=24, mode="strafe")
+    n_pts = int(tr.map.n_points())
+    # new points triangulated beyond the initial map
+    assert tr.obs_cursor > 2 * 100
+    assert n_pts > 80
