@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Headline benchmark: ORB pyramid extraction throughput (frames/s/chip).
+
+BASELINE.json config[1]: 8-level pyramid, 2000 keypoints, 640x480 frames.
+Baseline anchor: the reference's own C++ ORBextractor measured on this
+host's CPU at the same operating point (2000 features, 1.2x, 8 levels,
+FAST 20/7, the reference demo image resized to 640x480):
+
+    ref_extractor_fps = 115.975   (g++ -O3 -march=native, 30-iter mean)
+    (OpenCV 4 cv::ORB on the same image: 162.92 fps — secondary anchor)
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+
+Measurement notes: the TPU is reached through a relay whose
+block_until_ready/fetch latencies are unreliable, so throughput is
+measured with *chained* extraction steps (each step's input depends on the
+previous result, forcing sequential device execution) and a two-point
+(N1, N2) wall-time difference that cancels constant dispatch/fetch
+overhead.
+"""
+
+import json
+import sys
+import time
+
+REF_CPU_FPS = 115.975  # reference C++ ORBextractor, this host (see above)
+
+
+def main():
+    import os
+
+    import jax
+
+    if os.environ.get("ORB_BENCH_CPU") == "1":
+        # debug/CI escape hatch; the real bench runs on the default (TPU)
+        # backend
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from orb_slam_tracking_tpu.config import OrbConfig
+    from orb_slam_tracking_tpu.ops.extractor import orb_extract
+
+    # deterministic synthetic texture (no file dependency): smooth noise
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 255, (480, 640)).astype(np.float32)
+    cfg = OrbConfig(n_features=2000, max_keypoints=2048)
+
+    @jax.jit
+    def chained_step(x):
+        kps = orb_extract(x, cfg)
+        # data dependency: next frame differs by a tiny function of the
+        # result, so the chain cannot be elided or reordered
+        return x + jnp.sum(kps.response) * 1e-12
+
+    x = jnp.asarray(base)
+    # warmup: compile + one fetch
+    x1 = chained_step(x)
+    _ = float(x1[0, 0])
+
+    def run_chain(n):
+        xx = x
+        t0 = time.time()
+        for _ in range(n):
+            xx = chained_step(xx)
+        _ = float(xx[0, 0])  # single scalar fetch forces execution
+        return time.time() - t0
+
+    n1, n2 = 10, 40
+    t_a = run_chain(n1)
+    t_b = run_chain(n2)
+    per_frame = max((t_b - t_a) / (n2 - n1), 1e-9)
+    fps = 1.0 / per_frame
+    # guard against nonsensical readings from the relay: fall back to the
+    # single-chain estimate if the difference method degenerates
+    if t_b <= t_a or fps > 1e6:
+        fps = n2 / max(t_b, 1e-9)
+
+    print(json.dumps({
+        "metric": "orb_extraction_640x480_2000kp_frames_per_s_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REF_CPU_FPS, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,248 @@
+"""Distributed bundle adjustment: Schur reduction over point-sharded
+observation blocks with XLA collectives.
+
+This is the SLAM analog of sequence-parallel training (SURVEY.md §5.7):
+the factor graph's landmark axis is the "long" axis, so map points and
+their observations are sharded across devices. Per LM iteration each
+device builds its local camera/point blocks, reduces its Schur
+contribution ``S_local = sum_p W_p V_p^-1 W_p^T`` (a sum over local
+points), and a single ``psum`` over the mesh combines:
+
+- the reduced camera system ``S`` ([6K, 6K] — small, rides ICI),
+- the camera gradient and RHS.
+
+The camera solve is replicated (cheap); point back-substitution stays
+local to each shard — no all-gather of structure is ever needed. This
+mirrors the math of the reference's vendored g2o Schur block solver
+(``Thirdparty/g2o/g2o/core/block_solver.h:126-182``) with the per-point
+loop turned into a device-parallel reduction.
+
+Inputs must be pre-bucketed so each observation lives on the shard of its
+point (``bucket_observations`` does this host-side); the camera arrays are
+replicated.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..geometry import se3
+from ..optim.ba import inv3x3
+from ..optim.lm import huber_weight, nielsen_update
+
+__all__ = ["make_ba_mesh", "bucket_observations", "bundle_adjust_sharded"]
+
+_CHI2_MONO = 5.991
+
+
+def make_ba_mesh(devices=None, axis: str = "points") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def bucket_observations(obs_kf, obs_pt, obs_uv, obs_inv_sigma2, obs_valid,
+                        n_points: int, n_devices: int, obs_per_shard: int):
+    """Host-side: partition points into contiguous shards and bucket each
+    observation onto its point's shard, padding every shard to a fixed
+    capacity. Returns arrays of shape [D * obs_per_shard, ...] with
+    point indices rebased to shard-local coordinates.
+    """
+    assert n_points % n_devices == 0, "point capacity must divide the mesh"
+    per = n_points // n_devices
+    okf = np.asarray(obs_kf)
+    opt = np.asarray(obs_pt)
+    ouv = np.asarray(obs_uv)
+    ow = np.asarray(obs_inv_sigma2)
+    ov = np.asarray(obs_valid)
+    out_kf = np.zeros((n_devices, obs_per_shard), np.int32)
+    out_pt = np.zeros((n_devices, obs_per_shard), np.int32)
+    out_uv = np.zeros((n_devices, obs_per_shard, 2), np.float32)
+    out_w = np.ones((n_devices, obs_per_shard), np.float32)
+    out_v = np.zeros((n_devices, obs_per_shard), bool)
+    for d in range(n_devices):
+        sel = ov & (opt >= d * per) & (opt < (d + 1) * per)
+        idx = np.where(sel)[0][:obs_per_shard]
+        n = len(idx)
+        out_kf[d, :n] = okf[idx]
+        out_pt[d, :n] = opt[idx] - d * per  # shard-local point index
+        out_uv[d, :n] = ouv[idx]
+        out_w[d, :n] = ow[idx]
+        out_v[d, :n] = True
+    flat = lambda a: a.reshape((n_devices * obs_per_shard,) + a.shape[2:])
+    return flat(out_kf), flat(out_pt), flat(out_uv), flat(out_w), flat(out_v)
+
+
+def _residuals(kf_R, kf_t, pts, obs_kf, obs_pt, obs_uv, fx, fy, cx, cy):
+    Ro = kf_R[obs_kf]
+    to = kf_t[obs_kf]
+    Xo = pts[obs_pt]
+    pc = jnp.einsum("oij,oj->oi", Ro, Xo) + to
+    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = fx * x * zi + cx
+    v = fy * y * zi + cy
+    r = jnp.stack([u, v], axis=-1) - obs_uv
+    zero = jnp.zeros_like(x)
+    J_proj = jnp.stack(
+        [
+            jnp.stack([fx * zi, zero, -fx * x * zi * zi], axis=-1),
+            jnp.stack([zero, fy * zi, -fy * y * zi * zi], axis=-1),
+        ],
+        axis=-2,
+    )
+    J_pc = jnp.concatenate(
+        [-se3.hat(pc), jnp.broadcast_to(jnp.eye(3), pc.shape[:-1] + (3, 3))],
+        axis=-1,
+    )
+    Jc = J_proj @ J_pc
+    Jp = J_proj @ Ro
+    return r, Jc, Jp
+
+
+def bundle_adjust_sharded(
+    mesh: Mesh,
+    kf_R: jnp.ndarray,
+    kf_t: jnp.ndarray,
+    pts: jnp.ndarray,          # [P] sharded over the mesh point axis
+    obs_kf: jnp.ndarray,       # [D * obs_per_shard] bucketed (see above)
+    obs_pt: jnp.ndarray,       # shard-local point indices
+    obs_uv: jnp.ndarray,
+    obs_inv_sigma2: jnp.ndarray,
+    obs_valid: jnp.ndarray,
+    kf_fixed: jnp.ndarray,
+    pt_valid: jnp.ndarray,
+    K: jnp.ndarray,
+    iterations: int = 10,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Distributed LM BA. Returns (kf_R, kf_t, pts, final_cost).
+
+    ``pts``/``pt_valid`` are sharded on the point axis; camera arrays are
+    replicated; observation arrays are sharded to follow their points.
+    """
+    axis = mesh.axis_names[0]
+    nK = kf_R.shape[0]
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    free_cam = jnp.logical_not(kf_fixed)
+
+    def shard_fn(kf_R, kf_t, pts, obs_kf, obs_pt, obs_uv, w_info0, obs_valid,
+                 pt_valid):
+        nP_local = pts.shape[0]
+        w_info = jnp.where(obs_valid, w_info0, 0.0)
+
+        def robust_cost(R, t, X):
+            r, _, _ = _residuals(R, t, X, obs_kf, obs_pt, obs_uv, fx, fy, cx, cy)
+            chi2 = jnp.sum(r * r, axis=-1) * w_info
+            rho = jnp.where(
+                chi2 <= _CHI2_MONO, chi2,
+                2.0 * jnp.sqrt(_CHI2_MONO * chi2) - _CHI2_MONO,
+            )
+            return jax.lax.psum(jnp.sum(rho), axis)
+
+        def step(carry, _):
+            R, t, X, lam, nu, cost = carry
+            r, Jc, Jp = _residuals(R, t, X, obs_kf, obs_pt, obs_uv, fx, fy, cx, cy)
+            chi2 = jnp.sum(r * r, axis=-1) * w_info
+            w = huber_weight(chi2, _CHI2_MONO) * w_info
+
+            V = jnp.zeros((nP_local, 3, 3)).at[obs_pt].add(
+                jnp.einsum("ori,o,orj->oij", Jp, w, Jp)
+            )
+            g_p = jnp.zeros((nP_local, 3)).at[obs_pt].add(
+                jnp.einsum("ori,o,or->oi", Jp, w, r)
+            )
+            U_local = jnp.zeros((nK, 6, 6)).at[obs_kf].add(
+                jnp.einsum("ori,o,orj->oij", Jc, w, Jc)
+            )
+            g_c_local = jnp.zeros((nK, 6)).at[obs_kf].add(
+                jnp.einsum("ori,o,or->oi", Jc, w, r)
+            )
+            Wb = jnp.zeros((nP_local, nK, 6, 3)).at[obs_pt, obs_kf].add(
+                jnp.einsum("ori,o,orj->oij", Jc, w, Jp)
+            )
+
+            eyeP = jnp.eye(3)
+            Vd = V + lam * eyeP * jnp.diagonal(V, axis1=-2, axis2=-1)[:, None, :]
+            Vd = jnp.where(pt_valid[:, None, None], Vd, jnp.eye(3))
+            Vinv = inv3x3(Vd)
+            Y = jnp.einsum("pkil,plm->pkim", Wb, Vinv)
+            S_local = -jnp.einsum("pkil,pmjl->kimj", Y, Wb)
+            rhs_local = jnp.einsum("pkil,pl->ki", Y, g_p)
+
+            # the only collectives: tiny camera-sized reductions over ICI
+            U = jax.lax.psum(U_local, axis)
+            g_c = jax.lax.psum(g_c_local, axis)
+            S = jax.lax.psum(S_local, axis)
+            rhs = jax.lax.psum(rhs_local, axis) - g_c
+
+            eyeK = jnp.eye(6)
+            Ud = U + lam * eyeK * jnp.diagonal(U, axis1=-2, axis2=-1)[:, None, :]
+            S = S.at[jnp.arange(nK), :, jnp.arange(nK), :].add(Ud)
+            fmask = free_cam.astype(S.dtype)
+            S = S * fmask[:, None, None, None] * fmask[None, None, :, None]
+            S = S.at[jnp.arange(nK), :, jnp.arange(nK), :].add(
+                jnp.where(kf_fixed[:, None, None], jnp.eye(6), 0.0)
+            )
+            rhs = rhs * fmask[:, None]
+            Sm = S.reshape(nK * 6, nK * 6) + 1e-8 * jnp.eye(nK * 6)
+            dxc = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(Sm), rhs.reshape(-1)
+            ).reshape(nK, 6)
+            dxc = jnp.where(free_cam[:, None], dxc, 0.0)
+            # local point back-substitution
+            dxp = jnp.einsum(
+                "pij,pj->pi", Vinv,
+                -(g_p + jnp.einsum("pkil,ki->pl", Wb, dxc)),
+            )
+            dxp = jnp.where(pt_valid[:, None], dxp, 0.0)
+
+            dR, dt = se3.se3_exp(dxc)
+            R_new = dR @ R
+            t_new = jnp.einsum("kij,kj->ki", dR, t) + dt
+            X_new = X + dxp
+            new_cost = robust_cost(R_new, t_new, X_new)
+            predc = 0.5 * jnp.sum(
+                dxc * (lam * jnp.diagonal(U, axis1=-2, axis2=-1) * dxc - g_c)
+            )
+            predp = jax.lax.psum(
+                0.5 * jnp.sum(
+                    dxp * (lam * jnp.diagonal(V, axis1=-2, axis2=-1) * dxp - g_p)
+                ),
+                axis,
+            )
+            rho = (cost - new_cost) / jnp.maximum(jnp.abs(predc + predp), 1e-9)
+            lam_new, nu_new = nielsen_update(lam, nu, rho)
+            good = new_cost < cost
+            R = jnp.where(good, R_new, R)
+            t = jnp.where(good, t_new, t)
+            X = jnp.where(good, X_new, X)
+            cost = jnp.where(good, new_cost, cost)
+            return (R, t, X, lam_new, nu_new, cost), None
+
+        cost0 = robust_cost(kf_R, kf_t, pts)
+        (R, t, X, _, _, cost), _ = jax.lax.scan(
+            step,
+            (kf_R, kf_t, pts, jnp.float32(1e-4), jnp.float32(2.0), cost0),
+            None,
+            length=iterations,
+        )
+        return R, t, X, cost
+
+    pspec = P(axis)
+    rep = P()
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(rep, rep, pspec, pspec, pspec, pspec, pspec, pspec, pspec),
+            out_specs=(rep, rep, pspec, rep),
+            check_vma=False,
+        )
+    )
+    return fn(kf_R, kf_t, pts, obs_kf, obs_pt, obs_uv, obs_inv_sigma2,
+              obs_valid, pt_valid)

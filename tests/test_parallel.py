@@ -1,0 +1,140 @@
+"""Sharded-path tests on the virtual 8-device CPU mesh (conftest sets
+jax_num_cpu_devices=8), exercising the same mesh/shard_map code the
+multi-chip TPU deployment uses."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orb_slam_tracking_tpu.geometry import se3
+from orb_slam_tracking_tpu.optim.ba import bundle_adjust
+from orb_slam_tracking_tpu.parallel.ba_sharded import (
+    bucket_observations,
+    bundle_adjust_sharded,
+    make_ba_mesh,
+)
+
+K = np.array([[450.0, 0, 320], [0, 450, 240], [0, 0, 1]], np.float32)
+
+
+def _problem(rng, nK=8, nP=512):
+    pts_gt = np.stack(
+        [rng.uniform(-3, 3, nP), rng.uniform(-2, 2, nP), rng.uniform(3, 9, nP)], -1
+    ).astype(np.float32)
+    kf_R, kf_t = [], []
+    for k in range(nK):
+        yaw = np.radians(1.2 * k)
+        Rwc = np.array(
+            [[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0], [-np.sin(yaw), 0, np.cos(yaw)]],
+            np.float32,
+        )
+        c = np.array([-0.25 * k, 0.02 * k, 0.04 * k], np.float32)
+        R = Rwc.T
+        kf_R.append(R)
+        kf_t.append(-R @ c)
+    kf_R = np.stack(kf_R)
+    kf_t = np.stack(kf_t)
+    obs_kf = np.repeat(np.arange(nK), nP).astype(np.int32)
+    obs_pt = np.tile(np.arange(nP), nK).astype(np.int32)
+    pc = np.einsum("kij,pj->kpi", kf_R, pts_gt) + kf_t[:, None, :]
+    uv = (pc[..., :2] / pc[..., 2:]) * [450, 450] + [320, 240]
+    obs_uv = (uv.reshape(-1, 2) + rng.normal(0, 0.5, (nK * nP, 2))).astype(np.float32)
+    pts0 = pts_gt * (1 + rng.normal(0, 0.02, (nP, 1))).astype(np.float32)
+    xi = rng.normal(0, 0.008, (nK, 6)).astype(np.float32)
+    xi[0] = 0
+    dR, dt = se3.se3_exp(jnp.asarray(xi))
+    kf_R0 = np.asarray(dR) @ kf_R
+    kf_t0 = np.einsum("kij,kj->ki", np.asarray(dR), kf_t) + np.asarray(dt)
+    return pts0, kf_R0, kf_t0, obs_kf, obs_pt, obs_uv
+
+
+def test_sharded_ba_matches_single_chip(rng):
+    nK, nP = 8, 512
+    pts0, kf_R0, kf_t0, obs_kf, obs_pt, obs_uv = _problem(rng, nK, nP)
+    O = nK * nP
+    fixed = np.zeros(nK, bool)
+    fixed[0] = True
+    ref = bundle_adjust(
+        jnp.asarray(kf_R0), jnp.asarray(kf_t0), jnp.asarray(pts0),
+        jnp.asarray(obs_kf), jnp.asarray(obs_pt), jnp.asarray(obs_uv),
+        jnp.ones(O), jnp.ones(O, bool), jnp.asarray(fixed), jnp.ones(nP, bool),
+        jnp.asarray(K), iterations=10,
+    )
+    mesh = make_ba_mesh()
+    n_dev = len(jax.devices())
+    per = O // n_dev + 64
+    bk, bp, buv, bw, bv = bucket_observations(
+        obs_kf, obs_pt, obs_uv, np.ones(O, np.float32), np.ones(O, bool),
+        nP, n_dev, per,
+    )
+    R2, t2, X2, cost2 = bundle_adjust_sharded(
+        mesh, jnp.asarray(kf_R0), jnp.asarray(kf_t0), jnp.asarray(pts0),
+        jnp.asarray(bk), jnp.asarray(bp), jnp.asarray(buv), jnp.asarray(bw),
+        jnp.asarray(bv), jnp.asarray(fixed), jnp.ones(nP, bool),
+        jnp.asarray(K), iterations=10,
+    )
+    assert abs(float(cost2) - float(ref.cost)) / float(ref.cost) < 1e-3
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(ref.kf_t), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(X2), np.asarray(ref.pts), atol=5e-3)
+
+
+def test_bucket_observations_roundtrip(rng):
+    nP, n_dev = 64, 8
+    O = 100
+    obs_pt = rng.integers(0, nP, O).astype(np.int32)
+    obs_kf = rng.integers(0, 4, O).astype(np.int32)
+    obs_uv = rng.uniform(0, 100, (O, 2)).astype(np.float32)
+    bk, bp, buv, bw, bv = bucket_observations(
+        obs_kf, obs_pt, obs_uv, np.ones(O, np.float32), np.ones(O, bool),
+        nP, n_dev, 32,
+    )
+    per = nP // n_dev
+    n_valid = bv.sum()
+    assert n_valid == O  # capacity enough, nothing dropped
+    # every bucketed obs points into its shard's local range
+    for d in range(n_dev):
+        seg = slice(d * 32, (d + 1) * 32)
+        assert (bp[seg][bv[seg]] < per).all()
+
+
+def test_multiseq_step_runs_sharded(rng):
+    from orb_slam_tracking_tpu.config import MatcherConfig, OrbConfig
+    from orb_slam_tracking_tpu.parallel.multiseq import (
+        make_dp_mesh,
+        make_multiseq_step,
+    )
+
+    mesh = make_dp_mesh()
+    B = len(jax.devices())
+    H, W = 96, 128
+    ocfg = OrbConfig(n_features=32, n_levels=3, select_cell_size=8, max_keypoints=64)
+    step = make_multiseq_step(mesh, ocfg, MatcherConfig(), W, H)
+    images = jnp.asarray(rng.uniform(0, 255, (B, H, W)).astype(np.float32))
+    Pcap = 64
+    map_pts = jnp.asarray(
+        np.stack(
+            [rng.uniform(-1, 1, (B, Pcap)), rng.uniform(-1, 1, (B, Pcap)),
+             rng.uniform(2, 5, (B, Pcap))], -1
+        ).astype(np.float32)
+    )
+    map_desc = jnp.asarray(rng.integers(0, 2**32, (B, Pcap, 8), dtype=np.uint32))
+    Kj = jnp.asarray(np.array([[100.0, 0, 64], [0, 100, 48], [0, 0, 1]], np.float32))
+    out = step(
+        images, map_pts, map_desc, jnp.ones((B, Pcap), bool),
+        jnp.broadcast_to(jnp.eye(3), (B, 3, 3)), jnp.zeros((B, 3)), Kj,
+    )
+    assert out.R.shape == (B, 3, 3)
+    assert out.n_kps.shape == (B,)
+
+
+def test_graft_entry_dryrun():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out[0].shape[0] == 1024
+    g.dryrun_multichip(len(jax.devices()))
