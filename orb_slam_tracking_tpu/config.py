@@ -201,6 +201,12 @@ class TrackerConfig:
     # Map capacities (static shapes).
     max_keyframes: int = 64
     max_map_points: int = 8192
+    # Bag-of-words place recognition for LOST-state relocalization: a small
+    # vocabulary is trained on the init-frame descriptors (the reference
+    # ships a pretrained DBoW2 vocabulary instead; SURVEY.md §7.10).
+    use_bow: bool = True
+    bow_branching: int = 8
+    bow_depth: int = 3
     # Local BA window.
     ba_window: int = 20
     ba_iterations: int = 10

@@ -146,6 +146,39 @@ def search_for_initialization(
     )
 
 
+@partial(jax.jit, static_argnames=())
+def match_descriptors(
+    desc1: jnp.ndarray,
+    valid1: jnp.ndarray,
+    desc2: jnp.ndarray,
+    valid2: jnp.ndarray,
+    ratio: float = 0.75,
+    th: int = 50,
+):
+    """Window-free global descriptor matching (best + ratio + mutual).
+
+    The spatial-prior-free matcher relocalization needs (ORB-SLAM's
+    ``SearchByBoW`` role): returns matches12 [N1] int32 (-1 = none).
+    """
+    n1 = desc1.shape[0]
+    n2 = desc2.shape[0]
+    D = hamming_matrix(desc1, desc2)
+    Dm = jnp.where(valid1[:, None] & valid2[None, :], D, _BIG)
+    best = jnp.min(Dm, axis=1)
+    best_j = jnp.argmin(Dm, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, Dm.shape, 1)
+    second = jnp.min(jnp.where(cols == best_j[:, None], _BIG, Dm), axis=1)
+    accept = (best <= th) & (
+        best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
+    )
+    sentinel = jnp.int32(jnp.iinfo(jnp.int32).max)
+    rows = jnp.arange(n1, dtype=jnp.int32)
+    key = jnp.where(accept, best * jnp.int32(n1) + rows, sentinel)
+    min_key = jnp.full((n2,), sentinel, dtype=jnp.int32).at[best_j].min(key)
+    keep = accept & (key == min_key[best_j])
+    return jnp.where(keep, best_j.astype(jnp.int32), -1)
+
+
 @partial(jax.jit, static_argnames=("cap",))
 def compact_matches(matches12: jnp.ndarray, cap: int):
     """Compact sparse matches [N1] -> fixed-capacity pairs.

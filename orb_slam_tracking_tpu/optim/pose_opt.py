@@ -125,7 +125,7 @@ def _lm_rounds(R, t, pts, uv, inv_sigma2, active, fx, fy, cx, cy,
     return R, t, cost
 
 
-@partial(jax.jit, static_argnames=("rounds", "iters_per_round"))
+@partial(jax.jit, static_argnames=("rounds", "iters_per_round", "coarse_delta_scale"))
 def optimize_pose(
     R0: jnp.ndarray,
     t0: jnp.ndarray,
@@ -136,12 +136,16 @@ def optimize_pose(
     K: jnp.ndarray,
     rounds: int = 4,
     iters_per_round: int = 10,
+    coarse_delta_scale: float = 25.0,
 ) -> PoseOptResult:
     """Optimize a world-to-camera pose against known 3D points.
 
     R0, t0: initial pose. pts: [N, 3] world points. uv: [N, 2] observed
     (undistorted) pixels. inv_sigma2: [N] per-observation information
     (1/1.2^(2*octave) in ORB-SLAM). valid: [N] mask. K: [3, 3].
+    ``coarse_delta_scale`` widens the first round's Huber basin; callers
+    seeding from far-away poses (relocalization) pass a larger value so
+    the expected residual magnitude stays inside the quadratic region.
     """
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     R, t = R0, t0
@@ -149,7 +153,7 @@ def optimize_pose(
     for rnd in range(rounds):
         use_huber = rnd < 2  # ORB-SLAM drops the robust kernel in late rounds
         # graduated kernel: wide basin first, nominal afterwards
-        delta_scale = 25.0 if rnd == 0 else 1.0
+        delta_scale = coarse_delta_scale if rnd == 0 else 1.0
         R, t, cost = _lm_rounds(
             R, t, pts, uv, inv_sigma2, inlier, fx, fy, cx, cy,
             iters_per_round, use_huber, delta_scale,

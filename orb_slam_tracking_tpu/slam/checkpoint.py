@@ -1,0 +1,85 @@
+"""Checkpoint / resume for the tracker and map.
+
+The reference persists nothing beyond a text dump of triangulated points
+(``demo_initialization.cpp:187-191``) and DBoW2's vocabulary files
+(SURVEY.md §5.4); a production engine needs restartable state. The map,
+trajectory, pose, and vocabulary are flat arrays, so a single compressed
+``.npz`` round-trips everything; the format is versioned for forward
+compatibility. (For multi-host sharded deployments the same pytree can be
+handed to orbax; this file-local format keeps single-host checkpoints
+dependency-free.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .map import SlamMap
+from .tracker import TrackState, Tracker
+
+__all__ = ["save_tracker", "load_tracker"]
+
+_FORMAT_VERSION = 1
+
+
+def save_tracker(tracker: Tracker, path: str) -> None:
+    """Serialize map, pose, velocity, trajectory and bookkeeping."""
+    m = tracker.map
+    data = {f"map_{k}": np.asarray(v) for k, v in m._asdict().items()}
+    data.update(
+        version=np.int32(_FORMAT_VERSION),
+        state=np.int32(tracker.state),
+        frame_id=np.int32(tracker.frame_id),
+        R=tracker.R,
+        t=tracker.t,
+        vel_R=tracker.vel_R,
+        vel_t=tracker.vel_t,
+        have_velocity=np.bool_(tracker.have_velocity),
+        frames_since_kf=np.int32(tracker.frames_since_kf),
+        n_kf=np.int32(tracker.n_kf),
+        obs_cursor=np.int32(tracker.obs_cursor),
+        kf_ref_inliers=np.int32(tracker.kf_ref_inliers),
+        traj_frame_id=np.asarray([f for f, *_ in tracker.trajectory], np.int32),
+        traj_ts=np.asarray([ts for _, ts, *_ in tracker.trajectory], np.float64),
+        traj_R=np.asarray([R for _, _, R, _ in tracker.trajectory], np.float32).reshape(-1, 3, 3),
+        traj_t=np.asarray([t for *_, t in tracker.trajectory], np.float32).reshape(-1, 3),
+    )
+    np.savez_compressed(path, **data)
+
+
+def load_tracker(tracker: Tracker, path: str) -> Tracker:
+    """Restore state saved by ``save_tracker`` into a fresh Tracker built
+    with the same SystemConfig. Returns the tracker (mutated in place)."""
+    import jax.numpy as jnp
+
+    z = np.load(path, allow_pickle=False)
+    version = int(z["version"])
+    if version != _FORMAT_VERSION:
+        raise ValueError(f"unsupported checkpoint version {version}")
+    map_fields = {
+        k[len("map_"):]: jnp.asarray(z[k]) for k in z.files if k.startswith("map_")
+    }
+    tracker.map = SlamMap(**map_fields)
+    tracker.state = int(z["state"])
+    tracker.frame_id = int(z["frame_id"])
+    tracker.R = z["R"]
+    tracker.t = z["t"]
+    tracker.vel_R = z["vel_R"]
+    tracker.vel_t = z["vel_t"]
+    tracker.have_velocity = bool(z["have_velocity"])
+    tracker.frames_since_kf = int(z["frames_since_kf"])
+    tracker.n_kf = int(z["n_kf"])
+    tracker.obs_cursor = int(z["obs_cursor"])
+    tracker.kf_ref_inliers = int(z["kf_ref_inliers"])
+    tracker.trajectory = [
+        (int(f), float(ts), R, t)
+        for f, ts, R, t in zip(z["traj_frame_id"], z["traj_ts"], z["traj_R"], z["traj_t"])
+    ]
+    # a resumed WORKING tracker needs a keyframe snapshot before it can
+    # triangulate new points; re-seed lazily from the next keyframe
+    tracker.prev_kf = None
+    if tracker.state in (TrackState.INITIALIZING,):
+        # reference frame snapshot is not persisted; restart seeding
+        tracker.state = TrackState.NOT_INITIALIZED
+        tracker.ref = None
+    return tracker

@@ -112,6 +112,8 @@ class Tracker:
         self.kf_ref_inliers = 0  # tracked-point count of the last keyframe
         self.trajectory: list = []                  # (frame_id, ts, R, t)
         self._key = jax.random.PRNGKey(0)
+        self.vocab = None                           # trained at map init
+        self.kf_db = None                           # BoW keyframe database
 
     # ------------------------------------------------------------------
     def track(self, image, timestamp: float) -> dict:
@@ -264,6 +266,12 @@ class Tracker:
         # full BA over the initial two-keyframe map (the ORB-SLAM
         # GlobalBundleAdjustment-after-init step)
         self._local_ba(1)
+        # place-recognition vocabulary from the init descriptors (the
+        # reference would load a pretrained DBoW2 vocabulary here)
+        if self.cfg.tracker.use_bow:
+            self._init_bow(kps)
+            self._bow_add(0, self.ref.kps)
+            self._bow_add(1, kps)
         self.state = TrackState.WORKING
 
     # ------------------------------------------------------------------
@@ -422,6 +430,7 @@ class Tracker:
         self.prev_kf = _FrameSnap(
             kps=kps, xy_un=xy_un, frame_id=self.frame_id, matched_to_map=matched
         )
+        self._bow_add(slot, kps)
         self.n_kf += 1
         self.frames_since_kf = 0
         self.kf_ref_inliers = int(n_add) + out.get("kf_new_points", 0)
@@ -517,6 +526,28 @@ class Tracker:
         self.map = m
         return int(n_new)
 
+    def _init_bow(self, kps):
+        import numpy as _np
+
+        from ..bow.database import empty_database
+        from ..bow.vocabulary import build_vocabulary
+
+        tcfg = self.cfg.tracker
+        train = _np.asarray(kps.desc)[_np.asarray(kps.valid)]
+        self.vocab = build_vocabulary(
+            train, k=tcfg.bow_branching, depth=tcfg.bow_depth, seed=0
+        )
+        self.kf_db = empty_database(tcfg.max_keyframes, self.vocab.n_words)
+
+    def _bow_add(self, slot: int, kps):
+        from ..bow.database import add_keyframe
+        from ..bow.vocabulary import transform
+
+        if self.vocab is None:
+            return
+        _, bow = transform(self.vocab, kps.desc, kps.valid)
+        self.kf_db = add_keyframe(self.kf_db, slot, bow)
+
     def _local_ba(self, newest_slot: int) -> dict:
         """Local BA: optimize the last ``ba_window`` keyframes and all map
         points; older keyframes participate as fixed anchors (the gauge),
@@ -551,32 +582,89 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _track_lost(self, kps, xy_un, timestamp) -> dict:
-        """Windowed re-acquisition from the last known pose (the LOST state
-        exists in the reference with no recovery path, tracking.hpp:64)."""
+        """Relocalization (the reference's LOST state has no recovery path,
+        tracking.hpp:64; full ORB-SLAM relocalizes via its DBoW2 database):
+
+        1. BoW place recognition proposes candidate keyframes;
+        2. current features match the map points *without any spatial
+           window* (SearchByBoW's role — a pose prior does not exist);
+        3. RANSAC PnP from the 2D-3D matches;
+        4. pose-only LM refinement and a tight local-map re-match.
+        """
+        from ..geometry.pnp import ransac_pnp
+        from ..ops.matcher import match_descriptors
+
         cfg = self.cfg
+        reloc_kf = -1
+        if self.vocab is not None and self.n_kf > 0:
+            from ..bow.database import query
+            from ..bow.vocabulary import transform
+
+            _, bow = transform(self.vocab, kps.desc, kps.valid)
+            scores = np.asarray(query(self.kf_db, bow))
+            reloc_kf = int(np.argmax(scores))
+
+        # window-free 2D-3D matching: each map point finds its best frame
+        # keypoint (this direction keeps the candidate pool small and the
+        # ratio test meaningful — most keypoints have no map point)
+        # loose gates — RANSAC absorbs the resulting outliers
+        m12 = match_descriptors(
+            self.map.desc, self.map.pt_valid, kps.desc, kps.valid,
+            ratio=0.9, th=cfg.matcher.th_high,
+        )
+        mnp = np.asarray(m12)
+        pt_sel = np.where(mnp >= 0)[0]
+        if len(pt_sel) < 12:
+            return {"reloc": "too few 2d-3d matches", "reloc_kf": reloc_kf,
+                    "n_2d3d": len(pt_sel)}
+        kp_sel = mnp[pt_sel]
+        M = self.map.point_capacity
+        pts_m = np.zeros((M, 3), np.float32)
+        uv_m = np.zeros((M, 2), np.float32)
+        valid_m = np.zeros(M, bool)
+        n = len(kp_sel)
+        pts_m[:n] = np.asarray(self.map.pts)[pt_sel]
+        uv_m[:n] = np.asarray(xy_un)[kp_sel]
+        valid_m[:n] = True
+        self._key, sub = jax.random.split(self._key)
+        # a large hypothesis batch is nearly free (all solve at once) and
+        # buys robustness at the ~25% match purity loose gating produces
+        pnp = ransac_pnp(
+            jnp.asarray(pts_m), jnp.asarray(uv_m), jnp.asarray(valid_m),
+            self.K, sub, iterations=4096,
+        )
+        if not bool(pnp.ok) or int(pnp.n_inliers) < 10:
+            return {"reloc": "pnp failed", "reloc_kf": reloc_kf,
+                    "n_2d3d": n, "pnp_inl": int(pnp.n_inliers)}
+
+        # refine on the PnP inlier set, then tight re-match + final refine
+        res = optimize_pose(
+            pnp.R, pnp.t, jnp.asarray(pts_m), jnp.asarray(uv_m),
+            jnp.ones(M), pnp.inliers, self.K,
+        )
         pm = search_by_projection(
             self.map.pts, self.map.desc, self.map.pt_valid,
-            jnp.asarray(self.R), jnp.asarray(self.t), self.K,
+            res.R, res.t, self.K,
             kps.desc, xy_un, kps.valid,
-            cfg.tracker.projection_radius * 4.0, cfg.matcher,
+            cfg.tracker.projection_radius, cfg.matcher,
             cfg.camera.width, cfg.camera.height,
+            kp_octave=kps.octave, scale_factor=cfg.orb.scale_factor,
         )
-        if int(pm.n_matches) < cfg.tracker.min_tracked_inliers * 2:
-            return {"reloc": "failed"}
         kp_idx = pm.kp_for_point
         matched = kp_idx >= 0
         uv_obs = xy_un[jnp.clip(kp_idx, 0)]
         oct_m = kps.octave[jnp.clip(kp_idx, 0)]
         inv_s2 = 1.0 / cfg.orb.scale_factor ** (2.0 * oct_m.astype(jnp.float32))
         res = optimize_pose(
-            jnp.asarray(self.R), jnp.asarray(self.t),
-            self.map.pts, uv_obs, inv_s2, matched, self.K,
+            res.R, res.t, self.map.pts, uv_obs, inv_s2, matched, self.K,
         )
         if int(res.n_inliers) < cfg.tracker.min_tracked_inliers * 2:
-            return {"reloc": "pose failed"}
+            return {"reloc": "pose failed", "reloc_kf": reloc_kf,
+                    "n_2d3d": n, "pnp_inl": int(pnp.n_inliers)}
         self.R = np.asarray(res.R)
         self.t = np.asarray(res.t)
         self.have_velocity = False
         self.frames_since_kf = 0
         self.state = TrackState.WORKING
-        return {"reloc": "recovered", "n_inliers": int(res.n_inliers)}
+        return {"reloc": "recovered", "reloc_kf": reloc_kf,
+                "n_inliers": int(res.n_inliers)}

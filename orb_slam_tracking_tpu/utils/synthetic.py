@@ -29,7 +29,7 @@ class CornerField:
     boundaries the way hard-edged sprites do.
     """
 
-    N_BLOBS = 6
+    N_BLOBS = 10
 
     def __init__(self, rng: np.random.Generator, n: int = 600,
                  x=(-4.0, 4.0), y=(-3.0, 3.0), z=(3.0, 9.0)):
@@ -37,11 +37,18 @@ class CornerField:
             [rng.uniform(*x, n), rng.uniform(*y, n), rng.uniform(*z, n)], -1
         ).astype(np.float32)
         self.size_m = rng.uniform(0.05, 0.12, n).astype(np.float32)
-        # sub-blob offsets (units of size_m), amplitudes, widths
-        self.blob_off = rng.uniform(-1.0, 1.0, (n, self.N_BLOBS, 2)).astype(np.float32)
+        # sub-blob offsets (units of size_m), signed amplitudes, and
+        # anisotropic widths: varied local structure makes descriptors
+        # globally distinctive (needed for window-free relocalization
+        # matching, as with real textured scenes)
+        self.blob_off = rng.uniform(-1.3, 1.3, (n, self.N_BLOBS, 2)).astype(np.float32)
         self.blob_off[:, 0] = 0.0  # one blob centred on the point itself
-        self.blob_amp = rng.uniform(80, 240, (n, self.N_BLOBS)).astype(np.float32)
-        self.blob_sig = rng.uniform(0.25, 0.5, (n, self.N_BLOBS)).astype(np.float32)
+        self.blob_amp = (
+            rng.uniform(60, 240, (n, self.N_BLOBS))
+            * rng.choice([-0.6, 1.0], (n, self.N_BLOBS), p=[0.35, 0.65])
+        ).astype(np.float32)
+        self.blob_amp[:, 0] = np.abs(self.blob_amp[:, 0])
+        self.blob_sig = rng.uniform(0.15, 0.55, (n, self.N_BLOBS, 2)).astype(np.float32)
 
 
 def render_frame(field: CornerField, cam: CameraConfig, R: np.ndarray,
@@ -74,9 +81,10 @@ def render_frame(field: CornerField, cam: CameraConfig, R: np.ndarray,
         ys = np.arange(ya, yb, dtype=np.float32)
         gx = xs[None, :, None] - (u[i] + field.blob_off[i, :, 0] * scale_px[i])
         gy = ys[:, None, None] - (v[i] + field.blob_off[i, :, 1] * scale_px[i])
-        sig = np.maximum(field.blob_sig[i] * scale_px[i], 0.8)
+        sx = np.maximum(field.blob_sig[i, :, 0] * scale_px[i], 0.8)
+        sy = np.maximum(field.blob_sig[i, :, 1] * scale_px[i], 0.8)
         patch = (field.blob_amp[i] * np.exp(
-            -(gx * gx + gy * gy) / (2.0 * sig * sig)
+            -(gx * gx) / (2.0 * sx * sx) - (gy * gy) / (2.0 * sy * sy)
         )).sum(-1)
         img[ya:yb, xa:xb] += patch
     return np.clip(img, 0.0, 255.0)
