@@ -1,0 +1,159 @@
+"""Pallas TPU kernels for the hot compute paths.
+
+Two kernels, each an alternative backend to an existing XLA formulation
+(numerics are identical, verified against the XLA paths by tests running
+the kernels in interpret mode):
+
+1. ``hamming_matrix_pallas`` — blocked XOR+popcount all-pairs Hamming
+   distance. The MXU bit-matmul in hamming.py is the throughput champion
+   for large all-pairs products; this kernel keeps the [B1, B2, 8] XOR
+   intermediate entirely in VMEM instead of materializing unpacked bit
+   planes in HBM, which wins for small/medium tiles and for fusing with
+   masking.
+
+2. ``fast_score_pallas`` — fused FAST-9/16 corner score: the 16 ring
+   taps, the 9-wide cyclic arc min/max reduction and the score all happen
+   in one VMEM-resident pass per row tile (the XLA path in fast.py
+   materializes a [16, H, W] ring stack in HBM). Tiles carry a 3-pixel
+   halo; halo'd tiles are staged as a [n_tiles, ROWS+6, W] stack so block
+   boundaries stay non-overlapping (Pallas block offsets are in units of
+   the block shape).
+
+Both kernels follow the TPU tiling rules (last-dim 128 alignment, static
+shapes, no data-dependent control flow).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fast import RING_OFFSETS, _ARC
+
+__all__ = ["hamming_matrix_pallas", "fast_score_pallas"]
+
+
+# ---------------------------------------------------------------------------
+# Hamming distance
+# ---------------------------------------------------------------------------
+
+_HB = 128  # tile edge (lane-aligned)
+
+
+def _hamming_kernel(a_ref, b_ref, out_ref):
+    a = a_ref[:]                       # [HB, 8] uint32
+    b = b_ref[:]                       # [HB, 8] uint32
+    x = a[:, None, :] ^ b[None, :, :]  # [HB, HB, 8]
+    out_ref[:] = jnp.sum(
+        jax.lax.population_count(x).astype(jnp.int32), axis=-1
+    )
+
+
+def hamming_matrix_pallas(d1: jnp.ndarray, d2: jnp.ndarray,
+                          interpret: bool = False) -> jnp.ndarray:
+    """[N1, 8] x [N2, 8] uint32 -> [N1, N2] int32 Hamming distances.
+
+    N1 and N2 must be multiples of 128 (keypoint capacities already are:
+    OrbConfig.max_keypoints rounds up to 256).
+    """
+    n1, n2 = d1.shape[0], d2.shape[0]
+    assert n1 % _HB == 0 and n2 % _HB == 0, (n1, n2)
+    grid = (n1 // _HB, n2 // _HB)
+    return pl.pallas_call(
+        _hamming_kernel,
+        out_shape=jax.ShapeDtypeStruct((n1, n2), jnp.int32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((_HB, 8), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_HB, 8), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((_HB, _HB), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(d1, d2)
+
+
+# ---------------------------------------------------------------------------
+# FAST-9/16 corner score
+# ---------------------------------------------------------------------------
+
+_ROWS = 64  # interior rows computed per grid step
+
+
+def _fast_kernel(tile_ref, out_ref, *, width: int):
+    """tile_ref: [1, ROWS + 6, C] halo'd tile; out_ref: [1, ROWS, C]."""
+    tile = tile_ref[0]
+    rows = out_ref.shape[1]
+
+    def shift(dx, dy):
+        # output pixel (r, c) corresponds to tile[r + 3 + dy, c + 3 + dx];
+        # columns are full-width with 3 px of left halo baked in
+        return jax.lax.dynamic_slice(tile, (3 + dy, 3 + dx), (rows, width))
+
+    c = shift(0, 0)
+    ring = [shift(dx, dy) for (dx, dy) in RING_OFFSETS]
+
+    def windowed_min_max(diffs):
+        # max over the 16 cyclic 9-windows of the per-window min
+        acc = list(diffs)
+        for k in range(1, _ARC):
+            rot = diffs[k:] + diffs[:k]
+            acc = [jnp.minimum(a, r) for a, r in zip(acc, rot)]
+        best = acc[0]
+        for a in acc[1:]:
+            best = jnp.maximum(best, a)
+        return best
+
+    diff_b = [r - c for r in ring]
+    diff_d = [c - r for r in ring]
+    score = jnp.maximum(windowed_min_max(diff_b), windowed_min_max(diff_d))
+    out_ref[:] = jnp.pad(
+        score, ((0, 0), (0, out_ref.shape[2] - width))
+    )[None]
+
+
+def fast_score_pallas(padded: jnp.ndarray, pad: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Fused FAST score from a padded level image [H + 2p, W + 2p].
+
+    Returns [H, W] float32, identical to ``fast.fast_score``.
+    """
+    hp, wp = padded.shape
+    h = hp - 2 * pad
+    w = wp - 2 * pad
+    crop = pad - 3
+    img = padded[crop: hp - crop, crop: wp - crop]  # [h + 6, w + 6]
+    n_tiles = (h + _ROWS - 1) // _ROWS
+    cols = ((w + 6 + 127) // 128) * 128
+    img = jnp.pad(
+        img, ((0, n_tiles * _ROWS - h), (0, cols - (w + 6)))
+    )  # [n_tiles * ROWS + 6, cols]
+    tiles = jnp.stack(
+        [
+            jax.lax.dynamic_slice(img, (t * _ROWS, 0), (_ROWS + 6, cols))
+            for t in range(n_tiles)
+        ]
+    )  # [n_tiles, ROWS + 6, cols]
+    out = pl.pallas_call(
+        functools.partial(_fast_kernel, width=w),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, _ROWS, cols), padded.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, _ROWS + 6, cols), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, _ROWS, cols), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(tiles)
+    return out.reshape(n_tiles * _ROWS, cols)[:h, :w]

@@ -1,0 +1,41 @@
+"""Pallas kernels validated in interpret mode against the XLA paths
+(bit-exact; real-TPU execution is exercised by the benchmark)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam_tracking_tpu.ops.fast import fast_score
+from orb_slam_tracking_tpu.ops.hamming import hamming_matrix
+from orb_slam_tracking_tpu.ops.pallas_kernels import (
+    fast_score_pallas,
+    hamming_matrix_pallas,
+)
+from orb_slam_tracking_tpu.ops.pattern import EDGE_THRESHOLD
+from orb_slam_tracking_tpu.ops.pyramid import reflect_pad
+
+
+def test_hamming_pallas_matches_mxu(rng):
+    d1 = jnp.asarray(rng.integers(0, 2**32, (256, 8), dtype=np.uint32))
+    d2 = jnp.asarray(rng.integers(0, 2**32, (128, 8), dtype=np.uint32))
+    ref = np.asarray(hamming_matrix(d1, d2))
+    got = np.asarray(hamming_matrix_pallas(d1, d2, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fast_pallas_matches_xla(rng):
+    img = (rng.random((100, 150)) * 255).astype(np.float32)
+    # sprinkle some strong corners
+    img[20:28, 30:38] = 250.0
+    img[60:70, 90:100] = 5.0
+    padded = reflect_pad(jnp.asarray(img), EDGE_THRESHOLD)
+    ref = np.asarray(fast_score(padded, EDGE_THRESHOLD))
+    got = np.asarray(fast_score_pallas(padded, EDGE_THRESHOLD, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_fast_pallas_reference_image(init_images):
+    img = jnp.asarray(init_images[0])
+    padded = reflect_pad(img, EDGE_THRESHOLD)
+    ref = np.asarray(fast_score(padded, EDGE_THRESHOLD))
+    got = np.asarray(fast_score_pallas(padded, EDGE_THRESHOLD, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
