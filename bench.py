@@ -50,9 +50,19 @@ def main():
     @jax.jit
     def chained_step(x):
         kps = orb_extract(x, cfg)
-        # data dependency: next frame differs by a tiny function of the
+        # data dependency on EVERY output so no stage can be dead-code
+        # eliminated; the next frame differs by a tiny function of the
         # result, so the chain cannot be elided or reordered
-        return x + jnp.sum(kps.response) * 1e-12
+        probe = (
+            jnp.sum(kps.response)
+            + jnp.sum(kps.angle_deg)
+            + jnp.sum(kps.xy)
+            + jnp.sum(kps.desc.astype(jnp.float32))
+            + jnp.sum(kps.valid.astype(jnp.float32))
+            + jnp.sum(kps.size)
+            + jnp.sum(kps.octave.astype(jnp.float32))
+        )
+        return x + probe * 1e-12
 
     x = jnp.asarray(base)
     # warmup: compile + one fetch

@@ -88,18 +88,26 @@ def hamming_matrix_pallas(d1: jnp.ndarray, d2: jnp.ndarray,
 _ROWS = 64  # interior rows computed per grid step
 
 
-def _fast_kernel(tile_ref, out_ref, *, width: int):
-    """tile_ref: [1, ROWS + 6, C] halo'd tile; out_ref: [1, ROWS, C]."""
+_HALO = 4  # row halo (>=3 for the ring; 4 keeps tiles 8-sublane aligned)
+
+
+def _fast_kernel(tile_ref, out_ref):
+    """tile_ref: [1, ROWS + 2*HALO, C]; out_ref: [1, ROWS, C].
+
+    Column taps use jnp.roll (slice+concat on the lane axis); the tile
+    keeps the level image's own reflect apron on both sides, so wrapped
+    lanes only ever land in the cropped-away alignment padding — the
+    result is exact.
+    """
     tile = tile_ref[0]
     rows = out_ref.shape[1]
 
-    def shift(dx, dy):
-        # output pixel (r, c) corresponds to tile[r + 3 + dy, c + 3 + dx];
-        # columns are full-width with 3 px of left halo baked in
-        return jax.lax.dynamic_slice(tile, (3 + dy, 3 + dx), (rows, width))
+    def tap(dx, dy):
+        shifted = jnp.roll(tile, -dx, axis=1) if dx else tile
+        return shifted[_HALO + dy: _HALO + dy + rows, :]
 
-    c = shift(0, 0)
-    ring = [shift(dx, dy) for (dx, dy) in RING_OFFSETS]
+    c = tile[_HALO: _HALO + rows, :]
+    ring = [tap(dx, dy) for (dx, dy) in RING_OFFSETS]
 
     def windowed_min_max(diffs):
         # max over the 16 cyclic 9-windows of the per-window min
@@ -114,9 +122,8 @@ def _fast_kernel(tile_ref, out_ref, *, width: int):
 
     diff_b = [r - c for r in ring]
     diff_d = [c - r for r in ring]
-    score = jnp.maximum(windowed_min_max(diff_b), windowed_min_max(diff_d))
-    out_ref[:] = jnp.pad(
-        score, ((0, 0), (0, out_ref.shape[2] - width))
+    out_ref[:] = jnp.maximum(
+        windowed_min_max(diff_b), windowed_min_max(diff_d)
     )[None]
 
 
@@ -129,31 +136,32 @@ def fast_score_pallas(padded: jnp.ndarray, pad: int,
     hp, wp = padded.shape
     h = hp - 2 * pad
     w = wp - 2 * pad
-    crop = pad - 3
-    img = padded[crop: hp - crop, crop: wp - crop]  # [h + 6, w + 6]
+    crop = pad - _HALO
+    img = padded[crop: hp - crop, :]            # [h + 2*HALO, W + 2p]
+    # columns: keep a left offset of `pad` baked in; align lanes
     n_tiles = (h + _ROWS - 1) // _ROWS
-    cols = ((w + 6 + 127) // 128) * 128
+    cols = ((wp + 127) // 128) * 128
     img = jnp.pad(
-        img, ((0, n_tiles * _ROWS - h), (0, cols - (w + 6)))
-    )  # [n_tiles * ROWS + 6, cols]
+        img, ((0, n_tiles * _ROWS - h), (0, cols - wp))
+    )  # [n_tiles * ROWS + 2*HALO, cols]
     tiles = jnp.stack(
         [
-            jax.lax.dynamic_slice(img, (t * _ROWS, 0), (_ROWS + 6, cols))
+            jax.lax.dynamic_slice(img, (t * _ROWS, 0), (_ROWS + 2 * _HALO, cols))
             for t in range(n_tiles)
         ]
-    )  # [n_tiles, ROWS + 6, cols]
+    )
     out = pl.pallas_call(
-        functools.partial(_fast_kernel, width=w),
+        _fast_kernel,
         out_shape=jax.ShapeDtypeStruct((n_tiles, _ROWS, cols), padded.dtype),
         grid_spec=pl.GridSpec(
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((1, _ROWS + 6, cols), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _ROWS + 2 * _HALO, cols),
+                             lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, _ROWS, cols), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(tiles)
-    return out.reshape(n_tiles * _ROWS, cols)[:h, :w]
+    return out.reshape(n_tiles * _ROWS, cols)[:h, pad: pad + w]

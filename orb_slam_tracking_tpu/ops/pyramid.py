@@ -43,10 +43,27 @@ GAUSS7_SIGMA2 = (7, 2.0)  # the reference's blur before descriptors
 
 def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.ndarray:
     """Separable Gaussian with BORDER_REFLECT_101, matching
-    ``cv::GaussianBlur(..., Size(7,7), 2, 2, BORDER_REFLECT_101)``."""
+    ``cv::GaussianBlur(..., Size(7,7), 2, 2, BORDER_REFLECT_101)``.
+
+    On TPU the row taps are staged as input channels so the conv carries a
+    ksize^2-deep contraction onto the MXU (single-channel spatial convs
+    lower without any matrix-unit use); elsewhere the separable 1D pair is
+    fastest.
+    """
     k = _gauss_kernel_1d(ksize, sigma)
     r = ksize // 2
     p = jnp.pad(img, ((r, r), (r, r)), mode="reflect")
+    if jax.default_backend() == "tpu":
+        h = img.shape[0]
+        rows = jnp.stack([p[c: c + h, :] for c in range(ksize)], axis=0)[None]
+        k2d = (k[:, None] * k[None, :]).astype(img.dtype)  # [ksize, ksize]
+        kern = k2d[None, :, None, :]  # [out=1, in=ksize, 1, ksize]
+        out = jax.lax.conv_general_dilated(
+            rows, kern, (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32,
+        )
+        return out[0, 0]
     # rows then cols, via conv_general_dilated on a [1,1,H,W] layout
     x = p[None, None, :, :]
     kr = k[None, None, None, :]

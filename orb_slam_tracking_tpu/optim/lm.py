@@ -12,13 +12,39 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["huber_weight", "nielsen_update", "solve_damped"]
+__all__ = [
+    "huber_weight",
+    "tukey_weight",
+    "cauchy_weight",
+    "pseudo_huber_weight",
+    "nielsen_update",
+    "solve_damped",
+]
 
 
 def huber_weight(chi2: jnp.ndarray, delta2: jnp.ndarray) -> jnp.ndarray:
     """IRLS weight of the Huber kernel given squared error and squared
-    threshold: w = 1 inside, delta/|e| outside."""
+    threshold: w = 1 inside, delta/|e| outside
+    (g2o ``RobustKernelHuber::robustify``, robust_kernel_impl.h:76)."""
     return jnp.where(chi2 <= delta2, 1.0, jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-20)))
+
+
+def tukey_weight(chi2: jnp.ndarray, delta2: jnp.ndarray) -> jnp.ndarray:
+    """Tukey biweight: smooth rejection, zero influence beyond delta
+    (g2o ``RobustKernelTukey``)."""
+    r = chi2 / jnp.maximum(delta2, 1e-20)
+    return jnp.where(r <= 1.0, (1.0 - r) ** 2, 0.0)
+
+
+def cauchy_weight(chi2: jnp.ndarray, delta2: jnp.ndarray) -> jnp.ndarray:
+    """Cauchy/Lorentzian kernel weight (g2o ``RobustKernelCauchy``)."""
+    return 1.0 / (1.0 + chi2 / jnp.maximum(delta2, 1e-20))
+
+
+def pseudo_huber_weight(chi2: jnp.ndarray, delta2: jnp.ndarray) -> jnp.ndarray:
+    """Pseudo-Huber: smooth everywhere, Huber-like asymptotics
+    (g2o ``RobustKernelPseudoHuber``)."""
+    return 1.0 / jnp.sqrt(1.0 + chi2 / jnp.maximum(delta2, 1e-20))
 
 
 def nielsen_update(lam, nu, rho):
