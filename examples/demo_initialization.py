@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--iters", type=int, default=2000,
                     help="RANSAC iterations (demo default 2000, tracking 200)")
     ap.add_argument("--out", default="triangulatedPoints.txt")
+    ap.add_argument("--save-viz", default=None, metavar="PREFIX",
+                    help="write PREFIX-keypoints.png / PREFIX-matches.png "
+                         "(the reference demo's DLib visualization)")
     args = ap.parse_args()
 
     import jax
@@ -84,6 +87,16 @@ def main():
               f"/{int(np.asarray(k2.valid).sum())}, matches {nm} "
               f"(rejects d/r/o {int(res.n_reject_distance)}/"
               f"{int(res.n_reject_ratio)}/{int(res.n_reject_orientation)})")
+        if args.save_viz:
+            from orb_slam_tracking_tpu.utils.viz import draw_keypoints, draw_matches
+
+            draw_keypoints(img1, np.asarray(k1.xy), np.asarray(k1.valid),
+                           np.asarray(k1.octave),
+                           path=f"{args.save_viz}-keypoints.png")
+            draw_matches(img1, np.asarray(un1), img2, np.asarray(un2),
+                         np.asarray(res.matches12),
+                         path=f"{args.save_viz}-matches.png")
+            print(f"  wrote {args.save_viz}-keypoints.png / -matches.png")
         if nm < icfg.min_matches:
             print(f"  too few matches (<{icfg.min_matches}), trying next pair")
             continue

@@ -54,7 +54,10 @@ def main():
             return 2
         first = load_gray(os.path.join(args.images, files[0]))
         cfg = load_system_config(args.settings, width=first.shape[1], height=first.shape[0])
-        frames = (load_gray(os.path.join(args.images, f)) for f in files)
+        # native prefetching decode pipeline (falls back to PIL if unbuilt)
+        from orb_slam_tracking_tpu.io.native_loader import FrameLoader
+
+        frames = FrameLoader([os.path.join(args.images, f) for f in files])
         gt = None
         n_frames = len(files)
     else:

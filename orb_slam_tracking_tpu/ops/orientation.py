@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .pattern import EDGE_THRESHOLD, HALF_PATCH_SIZE, moment_kernels
+from .pattern import EDGE_THRESHOLD, HALF_PATCH_SIZE, moment_kernels, umax_table
 
 __all__ = ["moment_maps", "angles_at"]
 
@@ -35,31 +35,58 @@ def moment_maps(padded: jnp.ndarray, pad: int = EDGE_THRESHOLD) -> Tuple[jnp.nda
     apron (>= HALF_PATCH_SIZE) supplies the reflected out-of-bounds pixels
     the reference reads through its hidden cv::Mat border.
 
-    Layout note: a single-channel 31x31 spatial conv lowers onto the TPU
-    with no MXU utilization (measured ~50 ms for all levels). Instead the
-    31 row offsets become input CHANNELS — 31 shifted views of the image —
-    and the 2D kernel becomes a (1, 31)-window conv with in_channels=31,
-    out_channels=2 (m10, m01): a 961-MAC contraction per pixel that rides
-    the matrix unit.
+    Algorithm: the naive disc kernel is 961 taps/pixel and lowers terribly
+    as a single-channel conv. The disc is separable into incremental
+    half-width sums — with ``u(dy) = umax[|dy|]`` the disc half-width per
+    row offset,
+
+        T_u(i, x) = sum_{|dx|<=u} dx * I(i, x+dx)   (x-weighted row sum)
+        U_u(i, x) = sum_{|dx|<=u} I(i, x+dx)        (box row sum)
+        m10(y, x) = sum_dy T_{u(|dy|)}(y+dy, x)
+        m01(y, x) = sum_dy dy * U_{u(|dy|)}(y+dy, x)
+
+    and T_u/U_u build incrementally over the ~10 distinct half-widths
+    (T_u = T_u' + sum_{u'<dx<=u} dx*(I_{+dx} - I_{-dx}), similarly U), so
+    the whole computation is ~95 shifted elementwise adds — pure VPU work
+    that XLA fuses, with no conv lowering involved.
     """
-    kx_np, ky_np = moment_kernels()
     r = HALF_PATCH_SIZE
-    # crop the apron down to exactly r so a VALID conv lands on level coords
+    umax = umax_table()
     crop = pad - r
-    x = padded[crop: padded.shape[0] - crop, crop: padded.shape[1] - crop]
-    h = x.shape[0] - 2 * r
-    # [1, 31, H, W + 2r]: channel c = rows shifted by dy = c - r
-    rows = jnp.stack(
-        [x[c: c + h, :] for c in range(2 * r + 1)], axis=0
-    )[None]
-    # kernel [out=2, in=31, 1, 31]: out 0 -> kx rows, out 1 -> ky rows
-    k = jnp.stack([kx_np, ky_np]).astype(padded.dtype)[:, :, None, :]
-    out = jax.lax.conv_general_dilated(
-        rows, jnp.asarray(k), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
-    )  # [1, 2, H, W]
-    return out[0, 0], out[0, 1]
+    A = padded[crop: padded.shape[0] - crop, crop: padded.shape[1] - crop]
+    h = A.shape[0] - 2 * r
+    w = A.shape[1] - 2 * r
+
+    def col(dx):
+        # A column slice aligned to output x: I(i - r, x + dx)
+        return A[:, r + dx: r + dx + w]
+
+    distinct = sorted(set(int(u) for u in umax))
+    T: dict = {}
+    U: dict = {}
+    t_acc = jnp.zeros_like(col(0))
+    u_acc = col(0)
+    prev = 0
+    for u in distinct:
+        for dx in range(prev + 1, u + 1):
+            plus = col(dx)
+            minus = col(-dx)
+            t_acc = t_acc + dx * (plus - minus)
+            u_acc = u_acc + plus + minus
+        T[u] = t_acc
+        U[u] = u_acc
+        prev = u
+
+    m10 = jnp.zeros((h, w), A.dtype)
+    m01 = jnp.zeros((h, w), A.dtype)
+    for dy in range(-r, r + 1):
+        u = int(umax[abs(dy)])
+        rowT = T[u][r + dy: r + dy + h, :]
+        m10 = m10 + rowT
+        if dy != 0:
+            rowU = U[u][r + dy: r + dy + h, :]
+            m01 = m01 + dy * rowU
+    return m10, m01
 
 
 def angles_at(m10: jnp.ndarray, m01: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
