@@ -50,27 +50,15 @@ def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.n
     lower without any matrix-unit use); elsewhere the separable 1D pair is
     fastest.
     """
-    k = _gauss_kernel_1d(ksize, sigma)
+    k = _gauss_kernel_1d(ksize, sigma).astype(img.dtype)
     r = ksize // 2
     p = jnp.pad(img, ((r, r), (r, r)), mode="reflect")
-    if jax.default_backend() == "tpu":
-        h = img.shape[0]
-        rows = jnp.stack([p[c: c + h, :] for c in range(ksize)], axis=0)[None]
-        k2d = (k[:, None] * k[None, :]).astype(img.dtype)  # [ksize, ksize]
-        kern = k2d[None, :, None, :]  # [out=1, in=ksize, 1, ksize]
-        out = jax.lax.conv_general_dilated(
-            rows, kern, (1, 1), "VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            preferred_element_type=jnp.float32,
-        )
-        return out[0, 0]
-    # rows then cols, via conv_general_dilated on a [1,1,H,W] layout
-    x = p[None, None, :, :]
-    kr = k[None, None, None, :]
-    x = jax.lax.conv_general_dilated(x, kr, (1, 1), "VALID")
-    kc = k[None, None, :, None]
-    x = jax.lax.conv_general_dilated(x, kc, (1, 1), "VALID")
-    return x[0, 0]
+    h, w = img.shape
+    # separable blur as 2*ksize shifted multiply-adds — fully fusable VPU
+    # work on TPU (conv lowerings of single-channel kernels are far
+    # slower) and equally fine on CPU
+    horiz = sum(k[i] * p[:, i: i + w] for i in range(ksize))
+    return sum(k[i] * horiz[i: i + h, :] for i in range(ksize))
 
 
 def _resize_bilinear(img: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
