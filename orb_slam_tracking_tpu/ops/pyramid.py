@@ -61,9 +61,35 @@ def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.n
     return sum(k[i] * horiz[i: i + h, :] for i in range(ksize))
 
 
+import functools
+
+import numpy as _np
+
+
+@functools.lru_cache(maxsize=64)
+def _resize_matrix(n_in: int, n_out: int) -> _np.ndarray:
+    """[n_out, n_in] matrix M with M @ v == jax.image.resize(v, n_out,
+    'linear') exactly — resize is a linear map, so its matrix is obtained
+    by resizing the identity (computed host-side once per shape pair)."""
+    eye = _np.eye(n_in, dtype=_np.float64)
+    cols = jax.image.resize(jnp.asarray(eye), (n_in, n_out), method="linear")
+    return _np.asarray(cols, dtype=_np.float32).T
+
+
 def _resize_bilinear(img: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
-    """Bilinear resize with half-pixel centers (cv::resize INTER_LINEAR
-    semantics; jax.image.resize 'linear' uses the same convention)."""
+    """Bilinear (antialiased) resize with half-pixel centers, equal to
+    ``jax.image.resize(..., 'linear')``.
+
+    On TPU the two 1D interpolations run as dense matmuls with
+    precomputed weight matrices — gather-based resize lowering wastes the
+    matrix unit; shapes are static so the matrices are compile-time
+    constants.
+    """
+    if jax.default_backend() == "tpu":
+        mh = jnp.asarray(_resize_matrix(img.shape[0], shape[0]))
+        mw = jnp.asarray(_resize_matrix(img.shape[1], shape[1]))
+        out = jnp.dot(mh, img, preferred_element_type=jnp.float32)
+        return jnp.dot(out, mw.T, preferred_element_type=jnp.float32)
     return jax.image.resize(img, shape, method="linear")
 
 
