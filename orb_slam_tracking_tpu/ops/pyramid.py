@@ -68,12 +68,23 @@ import numpy as _np
 
 @functools.lru_cache(maxsize=64)
 def _resize_matrix(n_in: int, n_out: int) -> _np.ndarray:
-    """[n_out, n_in] matrix M with M @ v == jax.image.resize(v, n_out,
-    'linear') exactly — resize is a linear map, so its matrix is obtained
-    by resizing the identity (computed host-side once per shape pair)."""
-    eye = _np.eye(n_in, dtype=_np.float64)
-    cols = jax.image.resize(jnp.asarray(eye), (n_in, n_out), method="linear")
-    return _np.asarray(cols, dtype=_np.float32).T
+    """[n_out, n_in] interpolation matrix M with M @ v ==
+    jax.image.resize(v, n_out, 'linear').
+
+    Pure numpy (callable from inside a trace): jax.image.resize 'linear'
+    is a normalized triangle kernel at half-pixel sample positions with
+    the kernel width scaled by the downsampling factor (antialiasing).
+    """
+    scale = n_in / n_out
+    c = max(scale, 1.0)
+    pos = ( _np.arange(n_out, dtype=_np.float64) + 0.5) * scale - 0.5  # [n_out]
+    j = _np.arange(n_in, dtype=_np.float64)                            # [n_in]
+    w = _np.maximum(0.0, 1.0 - _np.abs((pos[:, None] - j[None, :]) / c))
+    s = w.sum(axis=1, keepdims=True)
+    w = _np.where(_np.abs(s) > 1e-4, w / _np.where(s == 0, 1.0, s), 0.0)
+    in_range = (pos >= -0.5) & (pos <= n_in - 0.5)
+    w = _np.where(in_range[:, None], w, 0.0)
+    return w.astype(_np.float32)
 
 
 def _resize_bilinear(img: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
