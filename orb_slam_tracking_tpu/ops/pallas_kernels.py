@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fast import RING_OFFSETS, _ARC
 
-__all__ = ["hamming_matrix_pallas", "fast_score_pallas"]
+__all__ = ["hamming_matrix_pallas", "fast_score_pallas", "brief_sample_pallas"]
 
 
 # ---------------------------------------------------------------------------
@@ -125,6 +125,91 @@ def _fast_kernel(tile_ref, out_ref):
     out_ref[:] = jnp.maximum(
         windowed_min_max(diff_b), windowed_min_max(diff_d)
     )[None]
+
+
+# ---------------------------------------------------------------------------
+# rBRIEF descriptor sampling
+# ---------------------------------------------------------------------------
+
+_P_ROWS = 56   # patch rows DMA'd per keypoint (8-aligned; covers y +-22)
+_P_COLS = 256  # patch cols (2 lanes; covers x +-22 after aligned start)
+
+
+def _brief_kernel(rs_ref, cs_ref, ly_ref, lx_ref, img_ref, out_ref,
+                  patch_ref, sem):
+    """One keypoint per grid step.
+
+    rs/cs: prefetched aligned patch origins [N]; ly/lx: [1, 512] local
+    sample coordinates inside the patch; img: full padded level image in
+    ANY/HBM; out: [1, 512] sampled values.
+
+    The 512 scattered reads become two one-hot contractions:
+        vals[s] = rowhot[s, :] @ patch @ colhot[s, :]^T
+    — an MXU matmul plus a VPU reduce instead of 512 scalar gathers.
+    """
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        img_ref.at[pl.ds(rs_ref[i], _P_ROWS), pl.ds(cs_ref[i], _P_COLS)],
+        patch_ref,
+        sem,
+    )
+    dma.start()
+    ly = ly_ref[0]  # [512] int32
+    lx = lx_ref[0]
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (512, _P_ROWS), 1)
+    cols_iota = jax.lax.broadcasted_iota(jnp.int32, (512, _P_COLS), 1)
+    rowhot = (rows_iota == ly[:, None]).astype(jnp.float32)
+    colhot = (cols_iota == lx[:, None]).astype(jnp.float32)
+    dma.wait()
+    tmp = jnp.dot(rowhot, patch_ref[:], preferred_element_type=jnp.float32)
+    out_ref[0, :] = jnp.sum(tmp * colhot, axis=1)
+
+
+def brief_sample_pallas(blurred_padded: jnp.ndarray, sy: jnp.ndarray,
+                        sx: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Sample ``blurred_padded[sy, sx]`` for [N, 512] integer coordinates.
+
+    Coordinates are absolute indices into the padded level image; callers
+    guarantee they lie >= 13 away from the array edge (keypoint border +
+    apron geometry). Returns [N, 512] float32 samples.
+    """
+    n = sy.shape[0]
+    hp, wp = blurred_padded.shape
+    # pad so every aligned patch window fits
+    rows_pad = ((hp + 7) // 8) * 8 + _P_ROWS
+    cols_pad = ((wp + 127) // 128) * 128 + _P_COLS
+    img = jnp.pad(blurred_padded,
+                  ((0, rows_pad - hp), (0, cols_pad - wp)))
+    # per-keypoint aligned patch origin from the min sample coordinate
+    y0 = jnp.min(sy, axis=1)
+    x0 = jnp.min(sx, axis=1)
+    rs = jnp.clip((y0 - 2) & ~7, 0, rows_pad - _P_ROWS).astype(jnp.int32)
+    cs = jnp.clip((x0 - 2) & ~127, 0, cols_pad - _P_COLS).astype(jnp.int32)
+    ly = (sy - rs[:, None]).astype(jnp.int32)
+    lx = (sx - cs[:, None]).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, 512), lambda i, rs, cs: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 512), lambda i, rs, cs: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 512), lambda i, rs, cs: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_P_ROWS, _P_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _brief_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 512), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(rs, cs, ly, lx, img)
 
 
 def fast_score_pallas(padded: jnp.ndarray, pad: int,
