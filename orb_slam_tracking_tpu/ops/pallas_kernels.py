@@ -135,34 +135,48 @@ _P_ROWS = 56   # patch rows DMA'd per keypoint (8-aligned; covers y +-22)
 _P_COLS = 256  # patch cols (2 lanes; covers x +-22 after aligned start)
 
 
+_KP_GROUP = 8  # keypoints per grid step (sublane-aligned blocks)
+
+
 def _brief_kernel(rs_ref, cs_ref, ly_ref, lx_ref, img_ref, out_ref,
-                  patch_ref, sem):
-    """One keypoint per grid step.
+                  patch_ref, sems):
+    """A group of 8 keypoints per grid step.
 
-    rs/cs: prefetched aligned patch origins [N]; ly/lx: [1, 512] local
-    sample coordinates inside the patch; img: full padded level image in
-    ANY/HBM; out: [1, 512] sampled values.
+    rs/cs: prefetched aligned patch origins [N]; ly/lx: [8, 512] local
+    sample coordinates inside each keypoint's patch; img: full padded
+    level image in ANY/HBM; out: [8, 512] sampled values.
 
-    The 512 scattered reads become two one-hot contractions:
-        vals[s] = rowhot[s, :] @ patch @ colhot[s, :]^T
-    — an MXU matmul plus a VPU reduce instead of 512 scalar gathers.
+    Per keypoint, the 512 scattered reads become two one-hot
+    contractions: vals[s] = rowhot[s, :] @ patch @ colhot[s, :]^T — an
+    MXU matmul plus a VPU masked reduce instead of scalar gathers. The 8
+    patch DMAs are all in flight before the first compute.
     """
     i = pl.program_id(0)
-    dma = pltpu.make_async_copy(
-        img_ref.at[pl.ds(rs_ref[i], _P_ROWS), pl.ds(cs_ref[i], _P_COLS)],
-        patch_ref,
-        sem,
-    )
-    dma.start()
-    ly = ly_ref[0]  # [512] int32
-    lx = lx_ref[0]
+    dmas = []
+    for j in range(_KP_GROUP):
+        k = i * _KP_GROUP + j
+        rs = pl.multiple_of(rs_ref[k], 8)     # origins are pre-aligned by
+        cs = pl.multiple_of(cs_ref[k], 128)   # the host wrapper
+        dma = pltpu.make_async_copy(
+            img_ref.at[pl.ds(rs, _P_ROWS), pl.ds(cs, _P_COLS)],
+            patch_ref.at[j],
+            sems.at[j],
+        )
+        dma.start()
+        dmas.append(dma)
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (512, _P_ROWS), 1)
     cols_iota = jax.lax.broadcasted_iota(jnp.int32, (512, _P_COLS), 1)
-    rowhot = (rows_iota == ly[:, None]).astype(jnp.float32)
-    colhot = (cols_iota == lx[:, None]).astype(jnp.float32)
-    dma.wait()
-    tmp = jnp.dot(rowhot, patch_ref[:], preferred_element_type=jnp.float32)
-    out_ref[0, :] = jnp.sum(tmp * colhot, axis=1)
+    for j in range(_KP_GROUP):
+        rowhot = (rows_iota == ly_ref[j][:, None]).astype(jnp.float32)
+        colhot = (cols_iota == lx_ref[j][:, None]).astype(jnp.float32)
+        dmas[j].wait()
+        # HIGHEST precision: the default bf16 MXU pass rounds the f32
+        # pixel values (up to 0.5 absolute) — the one-hot selection must
+        # reproduce them exactly
+        tmp = jnp.dot(rowhot, patch_ref[j],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        out_ref[j, :] = jnp.sum(tmp * colhot, axis=1)
 
 
 def brief_sample_pallas(blurred_padded: jnp.ndarray, sy: jnp.ndarray,
@@ -173,7 +187,12 @@ def brief_sample_pallas(blurred_padded: jnp.ndarray, sy: jnp.ndarray,
     guarantee they lie >= 13 away from the array edge (keypoint border +
     apron geometry). Returns [N, 512] float32 samples.
     """
-    n = sy.shape[0]
+    n0 = sy.shape[0]
+    n = ((n0 + _KP_GROUP - 1) // _KP_GROUP) * _KP_GROUP
+    if n != n0:
+        # pad with copies of row 0 (valid coordinates), sliced off below
+        sy = jnp.concatenate([sy, jnp.broadcast_to(sy[:1], (n - n0, 512))])
+        sx = jnp.concatenate([sx, jnp.broadcast_to(sx[:1], (n - n0, 512))])
     hp, wp = blurred_padded.shape
     # pad so every aligned patch window fits
     rows_pad = ((hp + 7) // 8) * 8 + _P_ROWS
@@ -189,27 +208,28 @@ def brief_sample_pallas(blurred_padded: jnp.ndarray, sy: jnp.ndarray,
     lx = (sx - cs[:, None]).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n,),
+        grid=(n // _KP_GROUP,),
         in_specs=[
-            pl.BlockSpec((1, 512), lambda i, rs, cs: (i, 0),
+            pl.BlockSpec((_KP_GROUP, 512), lambda i, rs, cs: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 512), lambda i, rs, cs: (i, 0),
+            pl.BlockSpec((_KP_GROUP, 512), lambda i, rs, cs: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 512), lambda i, rs, cs: (i, 0),
+        out_specs=pl.BlockSpec((_KP_GROUP, 512), lambda i, rs, cs: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((_P_ROWS, _P_COLS), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((_KP_GROUP, _P_ROWS, _P_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((_KP_GROUP,)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _brief_kernel,
         out_shape=jax.ShapeDtypeStruct((n, 512), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(rs, cs, ly, lx, img)
+    return out[:n0]
 
 
 def fast_score_pallas(padded: jnp.ndarray, pad: int,
