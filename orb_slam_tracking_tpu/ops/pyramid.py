@@ -14,10 +14,12 @@ computed host-side (``OrbConfig.level_shapes``).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+import functools
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from ..config import OrbConfig
 from .pattern import EDGE_THRESHOLD
@@ -59,11 +61,6 @@ def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.n
     # slower) and equally fine on CPU
     horiz = sum(k[i] * p[:, i: i + w] for i in range(ksize))
     return sum(k[i] * horiz[i: i + h, :] for i in range(ksize))
-
-
-import functools
-
-import numpy as _np
 
 
 @functools.lru_cache(maxsize=64)
