@@ -131,8 +131,9 @@ def _fast_kernel(tile_ref, out_ref):
 # rBRIEF descriptor sampling
 # ---------------------------------------------------------------------------
 
-_P_ROWS = 56   # patch rows DMA'd per keypoint (8-aligned; covers y +-22)
-_P_COLS = 256  # patch cols (2 lanes; covers x +-22 after aligned start)
+_P_ROWS = 48   # patch rows DMA'd per keypoint (8-aligned; local row ids
+               # land in [2, 47] given the 8-aligned origin)
+_P_COLS = 256  # patch cols (2 lanes; local col ids land in [2, 167])
 
 
 _KP_GROUP = 8  # keypoints per grid step (sublane-aligned blocks)
@@ -164,19 +165,29 @@ def _brief_kernel(rs_ref, cs_ref, ly_ref, lx_ref, img_ref, out_ref,
         )
         dma.start()
         dmas.append(dma)
-    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (512, _P_ROWS), 1)
-    cols_iota = jax.lax.broadcasted_iota(jnp.int32, (512, _P_COLS), 1)
-    for j in range(_KP_GROUP):
-        rowhot = (rows_iota == ly_ref[j][:, None]).astype(jnp.float32)
-        colhot = (cols_iota == lx_ref[j][:, None]).astype(jnp.float32)
-        dmas[j].wait()
-        # HIGHEST precision: the default bf16 MXU pass rounds the f32
-        # pixel values (up to 0.5 absolute) — the one-hot selection must
-        # reproduce them exactly
-        tmp = jnp.dot(rowhot, patch_ref[j],
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-        out_ref[j, :] = jnp.sum(tmp * colhot, axis=1)
+    rows_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (_KP_GROUP, 512, _P_ROWS), 2
+    )
+    cols_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (_KP_GROUP, 512, _P_COLS), 2
+    )
+    ly = ly_ref[:]
+    lx = lx_ref[:]
+    rowhot = (rows_iota == ly[:, :, None]).astype(jnp.float32)
+    colhot = (cols_iota == lx[:, :, None]).astype(jnp.float32)
+    for d in dmas:
+        d.wait()
+    # HIGHEST precision: the default bf16 MXU pass rounds the f32 pixel
+    # values (up to 0.5 absolute) — the one-hot selection must reproduce
+    # them exactly. One batched contraction over the group keeps the MXU
+    # busier than 8 sequential small matmuls.
+    tmp = jax.lax.dot_general(
+        rowhot, patch_ref[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [G, 512, _P_COLS]
+    out_ref[:] = jnp.sum(tmp * colhot, axis=2)
 
 
 def brief_sample_pallas(blurred_padded: jnp.ndarray, sy: jnp.ndarray,
