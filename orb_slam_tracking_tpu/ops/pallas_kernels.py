@@ -136,21 +136,23 @@ _P_ROWS = 48   # patch rows DMA'd per keypoint (8-aligned; local row ids
 _P_COLS = 256  # patch cols (2 lanes; local col ids land in [2, 167])
 
 
-_KP_GROUP = 8  # keypoints per grid step (sublane-aligned blocks)
+_KP_GROUP = 16  # keypoints per grid step (sublane-aligned blocks)
+_S_CHUNK = 256  # sample-axis chunk (bounds the [G, S, COLS] VMEM buffers)
 
 
 def _brief_kernel(rs_ref, cs_ref, ly_ref, lx_ref, img_ref, out_ref,
                   patch_ref, sems):
-    """A group of 8 keypoints per grid step.
+    """A group of keypoints per grid step.
 
-    rs/cs: prefetched aligned patch origins [N]; ly/lx: [8, 512] local
+    rs/cs: prefetched aligned patch origins [N]; ly/lx: [G, 512] local
     sample coordinates inside each keypoint's patch; img: full padded
-    level image in ANY/HBM; out: [8, 512] sampled values.
+    level image in ANY/HBM; out: [G, 512] sampled values.
 
     Per keypoint, the 512 scattered reads become two one-hot
     contractions: vals[s] = rowhot[s, :] @ patch @ colhot[s, :]^T — an
-    MXU matmul plus a VPU masked reduce instead of scalar gathers. The 8
-    patch DMAs are all in flight before the first compute.
+    MXU matmul plus a VPU masked reduce instead of scalar gathers. All
+    patch DMAs are in flight before the first compute; the sample axis is
+    chunked so the one-hot/tmp buffers stay within VMEM.
     """
     i = pl.program_id(0)
     dmas = []
@@ -166,28 +168,30 @@ def _brief_kernel(rs_ref, cs_ref, ly_ref, lx_ref, img_ref, out_ref,
         dma.start()
         dmas.append(dma)
     rows_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (_KP_GROUP, 512, _P_ROWS), 2
+        jnp.int32, (_KP_GROUP, _S_CHUNK, _P_ROWS), 2
     )
     cols_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (_KP_GROUP, 512, _P_COLS), 2
+        jnp.int32, (_KP_GROUP, _S_CHUNK, _P_COLS), 2
     )
-    ly = ly_ref[:]
-    lx = lx_ref[:]
-    rowhot = (rows_iota == ly[:, :, None]).astype(jnp.float32)
-    colhot = (cols_iota == lx[:, :, None]).astype(jnp.float32)
     for d in dmas:
         d.wait()
-    # HIGHEST precision: the default bf16 MXU pass rounds the f32 pixel
-    # values (up to 0.5 absolute) — the one-hot selection must reproduce
-    # them exactly. One batched contraction over the group keeps the MXU
-    # busier than 8 sequential small matmuls.
-    tmp = jax.lax.dot_general(
-        rowhot, patch_ref[:],
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [G, 512, _P_COLS]
-    out_ref[:] = jnp.sum(tmp * colhot, axis=2)
+    patches = patch_ref[:]
+    for c0 in range(0, 512, _S_CHUNK):
+        ly = ly_ref[:, c0: c0 + _S_CHUNK]
+        lx = lx_ref[:, c0: c0 + _S_CHUNK]
+        rowhot = (rows_iota == ly[:, :, None]).astype(jnp.float32)
+        colhot = (cols_iota == lx[:, :, None]).astype(jnp.float32)
+        # HIGHEST precision: the default bf16 MXU pass rounds the f32
+        # pixel values (up to 0.5 absolute) — the one-hot selection must
+        # reproduce them exactly. One batched contraction per chunk keeps
+        # the MXU busier than per-keypoint small matmuls.
+        tmp = jax.lax.dot_general(
+            rowhot, patches,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [G, _S_CHUNK, _P_COLS]
+        out_ref[:, c0: c0 + _S_CHUNK] = jnp.sum(tmp * colhot, axis=2)
 
 
 def brief_sample_pallas(blurred_padded: jnp.ndarray, sy: jnp.ndarray,
