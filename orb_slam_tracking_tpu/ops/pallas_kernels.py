@@ -176,20 +176,25 @@ def _brief_kernel(rs_ref, cs_ref, ly_ref, lx_ref, img_ref, out_ref,
     for d in dmas:
         d.wait()
     patches = patch_ref[:]
+    # The one-hot selection must reproduce the f32 pixel values exactly,
+    # but HIGHEST-precision f32 matmuls cost 6 bf16 MXU passes. Instead
+    # split the patch into an exact bf16 hi/lo pair (x == hi + lo in f32
+    # to below sample precision): two single-pass bf16 contractions whose
+    # f32 accumulations add back losslessly — 3x fewer MXU passes.
+    hi = patches.astype(jnp.bfloat16)
+    lo = (patches - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     for c0 in range(0, 512, _S_CHUNK):
         ly = ly_ref[:, c0: c0 + _S_CHUNK]
         lx = lx_ref[:, c0: c0 + _S_CHUNK]
-        rowhot = (rows_iota == ly[:, :, None]).astype(jnp.float32)
+        rowhot = (rows_iota == ly[:, :, None]).astype(jnp.bfloat16)
         colhot = (cols_iota == lx[:, :, None]).astype(jnp.float32)
-        # HIGHEST precision: the default bf16 MXU pass rounds the f32
-        # pixel values (up to 0.5 absolute) — the one-hot selection must
-        # reproduce them exactly. One batched contraction per chunk keeps
-        # the MXU busier than per-keypoint small matmuls.
+        dn = (((2,), (1,)), ((0,), (0,)))
         tmp = jax.lax.dot_general(
-            rowhot, patches,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            rowhot, hi, dimension_numbers=dn,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        ) + jax.lax.dot_general(
+            rowhot, lo, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
         )  # [G, _S_CHUNK, _P_COLS]
         out_ref[:, c0: c0 + _S_CHUNK] = jnp.sum(tmp * colhot, axis=2)
 

@@ -1,5 +1,7 @@
 """Pallas kernels validated in interpret mode against the XLA paths
-(bit-exact; real-TPU execution is exercised by the benchmark)."""
+(FAST/Hamming bit-exact; the brief sampler is exact to the bf16 hi/lo
+split residual ~1e-3 absolute on [0,255] pixels; real-TPU execution is
+exercised by the benchmark)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -7,11 +9,26 @@ import numpy as np
 from orb_slam_tracking_tpu.ops.fast import fast_score
 from orb_slam_tracking_tpu.ops.hamming import hamming_matrix
 from orb_slam_tracking_tpu.ops.pallas_kernels import (
+    brief_sample_pallas,
     fast_score_pallas,
     hamming_matrix_pallas,
 )
 from orb_slam_tracking_tpu.ops.pattern import EDGE_THRESHOLD
 from orb_slam_tracking_tpu.ops.pyramid import reflect_pad
+
+
+def test_brief_sampler_matches_gather(rng):
+    img = jnp.asarray((rng.random((518, 678)) * 255).astype(np.float32))
+    n = 100
+    cy = rng.integers(35, 480, n)
+    cx = rng.integers(35, 640, n)
+    sy = (cy[:, None] + rng.integers(-19, 20, (n, 512))).astype(np.int32)
+    sx = (cx[:, None] + rng.integers(-19, 20, (n, 512))).astype(np.int32)
+    ref = np.asarray(img).reshape(-1)[sy * 678 + sx]
+    got = np.asarray(
+        brief_sample_pallas(img, jnp.asarray(sy), jnp.asarray(sx), interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-3)
 
 
 def test_hamming_pallas_matches_mxu(rng):
