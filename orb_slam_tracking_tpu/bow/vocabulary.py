@@ -27,7 +27,10 @@ import numpy as np
 
 from ..ops.hamming import hamming_matrix
 
-__all__ = ["Vocabulary", "build_vocabulary", "transform"]
+__all__ = [
+    "Vocabulary", "build_vocabulary", "transform", "save_vocabulary",
+    "load_vocabulary", "direct_index_nodes",
+]
 
 
 class Vocabulary(NamedTuple):
@@ -169,3 +172,50 @@ def transform(voc: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray):
     norm = jnp.sum(jnp.abs(bow))
     bow = bow / jnp.where(norm > 0, norm, 1.0)
     return word, bow
+
+
+def direct_index_nodes(voc: Vocabulary, word, levels_up: int = 2):
+    """Direct-index node id of each word, ``levels_up`` levels above the
+    leaves — the dense-array analog of DBoW2's ``FeatureVector`` node key
+    (``FeatureVector.h:21``, populated by ``transform``'s ``levelsup``
+    argument, ``TemplatedVocabulary.h:1220-1310``). The tree is complete,
+    so the ancestor id is an integer divide."""
+    lu = min(max(levels_up, 0), voc.depth)
+    return word // (voc.k ** lu)
+
+
+def save_vocabulary(voc: Vocabulary, path) -> None:
+    """Persist as npz — the artifact role of DBoW2's vocabulary files
+    (``TemplatedVocabulary.h:229-265`` save/load incl. the text format
+    that ships pretrained ORB vocabularies)."""
+    arrays = {
+        f"level_{i}": np.asarray(d) for i, d in enumerate(voc.node_desc)
+    }
+    np.savez_compressed(
+        path,
+        word_weight=np.asarray(voc.word_weight),
+        k=np.int64(voc.k),
+        depth=np.int64(voc.depth),
+        **arrays,
+    )
+
+
+def load_vocabulary(path) -> Vocabulary:
+    with np.load(path) as z:
+        k = int(z["k"])
+        depth = int(z["depth"])
+        levels = tuple(
+            jnp.asarray(z[f"level_{i}"].astype(np.uint32)) for i in range(depth)
+        )
+        for lvl, d in enumerate(levels):
+            if d.shape != (k ** (lvl + 1), 8):
+                raise ValueError(
+                    f"vocabulary level {lvl} has shape {d.shape}, "
+                    f"expected {(k ** (lvl + 1), 8)}"
+                )
+        return Vocabulary(
+            node_desc=levels,
+            word_weight=jnp.asarray(z["word_weight"].astype(np.float32)),
+            k=k,
+            depth=depth,
+        )

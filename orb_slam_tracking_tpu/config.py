@@ -101,6 +101,11 @@ class OrbConfig:
     # quadtree (ops/select.py); cell count per level must exceed that
     # level's feature budget.
     select_cell_size: int = 12
+    # Run the atlas-fused extraction path (ops/atlas.py): all levels packed
+    # into one canvas so the heavy stages run once instead of per level.
+    # Bit-identical to the per-level path; the flag exists for A/B
+    # measurement and fallback.
+    use_atlas: bool = True
 
     def __post_init__(self):
         if self.n_levels < 1:

@@ -18,6 +18,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .sampling import sample_distinct
+
 __all__ = ["PnPResult", "ransac_pnp"]
 
 
@@ -86,11 +88,8 @@ def ransac_pnp(
     yn = (uv[:, 1] - K[1, 2]) / K[1, 1]
     x = jnp.stack([xn, yn], axis=-1)
 
-    u = jax.random.uniform(key, (iterations, 6))
-    idx = jnp.clip(
-        jnp.floor(u * jnp.maximum(n_valid, 1).astype(jnp.float32)).astype(jnp.int32),
-        0, jnp.maximum(n_valid - 1, 0),
-    )
+    # distinct 6-point sets (duplicates make the DLT system rank-deficient)
+    idx = sample_distinct(key, n_valid, iterations, 6)
     P = _solve_pnp_dlt(pts[idx], x[idx])           # [S, 3, 4]
     R, t = _pose_from_P(P)                          # [S, 3, 3], [S, 3]
 

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ..config import InitConfig
 from .fundamental import decompose_essential, solve_f_8point
 from .homography import decompose_homography, solve_h_dlt
+from .sampling import sample_distinct
 from .triangulate import triangulate_dlt
 
 __all__ = ["TwoViewResult", "initialize_two_view", "score_homography", "score_fundamental"]
@@ -113,10 +114,11 @@ def score_fundamental(F21, x1, x2, valid, sigma):
 
 
 def _sample_sets(key, n_valid, iters):
-    """[iters, 8] indices into the compacted (front-packed) match arrays."""
-    u = jax.random.uniform(key, (iters, 8))
-    idx = jnp.floor(u * jnp.maximum(n_valid, 1).astype(jnp.float32)).astype(jnp.int32)
-    return jnp.clip(idx, 0, jnp.maximum(n_valid - 1, 0))
+    """[iters, 8] distinct indices into the compacted (front-packed) match
+    arrays — the reference draws without replacement
+    (``Initializer.cpp:41-66``); duplicate indices would waste hypotheses
+    on degenerate 8-point systems."""
+    return sample_distinct(key, n_valid, iters, 8)
 
 
 def _check_rt(R, t, x1, x2, valid, K, sigma2):
@@ -268,7 +270,10 @@ def initialize_two_view(
         jnp.int32(cfg.min_triangulated),
         (0.9 * n_inliers.astype(jnp.float32)).astype(jnp.int32),
     )
-    unambiguous = second_good.astype(jnp.float32) < 0.75 * best_good.astype(jnp.float32)
+    # 0.7 ambiguity factor per the reference (Initializer.cpp:527); the
+    # duplicate-candidate pass above keeps coincident Faugeras sign
+    # combinations from tripping this gate.
+    unambiguous = second_good.astype(jnp.float32) < 0.7 * best_good.astype(jnp.float32)
     enough_parallax = parallax[best] > cfg.min_parallax_deg
     success = (
         (n_valid >= cfg.min_matches)

@@ -35,7 +35,14 @@ def orb_extract(image: jnp.ndarray, cfg: OrbConfig) -> Keypoints:
     Returns a ``Keypoints`` with capacity ``cfg.max_keypoints``; the first
     ``sum(cfg.features_per_level())`` rows hold per-level results (invalid
     rows interleaved where a level found fewer corners than its budget).
+
+    Dispatches to the atlas-fused path (ops/atlas.py, bit-identical, one
+    canvas pass per heavy stage) unless ``cfg.use_atlas`` is off.
     """
+    if cfg.use_atlas:
+        from .atlas import orb_extract_atlas
+
+        return orb_extract_atlas(image, cfg)
     budgets = cfg.features_per_level()
     scales = cfg.level_scales()
     levels = build_pyramid(image, cfg, pad=EDGE_THRESHOLD)

@@ -19,13 +19,29 @@ from .tracker import TrackState, Tracker
 
 __all__ = ["save_tracker", "load_tracker"]
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
 def save_tracker(tracker: Tracker, path: str) -> None:
-    """Serialize map, pose, velocity, trajectory and bookkeeping."""
+    """Serialize map, pose, velocity, trajectory, bookkeeping, and — when
+    BoW is enabled — the vocabulary tree and keyframe database (without
+    them a resumed tracker silently loses relocalization)."""
     m = tracker.map
     data = {f"map_{k}": np.asarray(v) for k, v in m._asdict().items()}
+    if tracker.vocab is not None:
+        v = tracker.vocab
+        data.update(
+            vocab_k=np.int64(v.k),
+            vocab_depth=np.int64(v.depth),
+            vocab_word_weight=np.asarray(v.word_weight),
+            **{f"vocab_level_{i}": np.asarray(d)
+               for i, d in enumerate(v.node_desc)},
+        )
+    if tracker.kf_db is not None:
+        data.update(
+            kfdb_bow=np.asarray(tracker.kf_db.bow),
+            kfdb_valid=np.asarray(tracker.kf_db.valid),
+        )
     data.update(
         version=np.int32(_FORMAT_VERSION),
         state=np.int32(tracker.state),
@@ -54,7 +70,7 @@ def load_tracker(tracker: Tracker, path: str) -> Tracker:
 
     z = np.load(path, allow_pickle=False)
     version = int(z["version"])
-    if version != _FORMAT_VERSION:
+    if version not in (1, _FORMAT_VERSION):
         raise ValueError(f"unsupported checkpoint version {version}")
     map_fields = {
         k[len("map_"):]: jnp.asarray(z[k]) for k in z.files if k.startswith("map_")
@@ -75,6 +91,30 @@ def load_tracker(tracker: Tracker, path: str) -> Tracker:
         (int(f), float(ts), R, t)
         for f, ts, R, t in zip(z["traj_frame_id"], z["traj_ts"], z["traj_R"], z["traj_t"])
     ]
+    # BoW state (format v2; older checkpoints lose relocalization indexing
+    # and the tracker falls back to map-wide matching)
+    tracker.vocab = None
+    tracker.kf_db = None
+    if "vocab_k" in z.files:
+        from ..bow.vocabulary import Vocabulary
+
+        depth = int(z["vocab_depth"])
+        tracker.vocab = Vocabulary(
+            node_desc=tuple(
+                jnp.asarray(z[f"vocab_level_{i}"].astype(np.uint32))
+                for i in range(depth)
+            ),
+            word_weight=jnp.asarray(z["vocab_word_weight"].astype(np.float32)),
+            k=int(z["vocab_k"]),
+            depth=depth,
+        )
+    if "kfdb_bow" in z.files:
+        from ..bow.database import KeyframeDatabase
+
+        tracker.kf_db = KeyframeDatabase(
+            bow=jnp.asarray(z["kfdb_bow"].astype(np.float32)),
+            valid=jnp.asarray(z["kfdb_valid"].astype(bool)),
+        )
     # a resumed WORKING tracker needs a keyframe snapshot before it can
     # triangulate new points; re-seed lazily from the next keyframe
     tracker.prev_kf = None

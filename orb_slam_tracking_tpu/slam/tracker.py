@@ -88,6 +88,7 @@ class _FrameSnap:
     xy_un: jnp.ndarray
     frame_id: int
     matched_to_map: Optional[np.ndarray] = None  # [N] bool
+    timestamp: float = 0.0                       # capture time of the frame
 
 
 class Tracker:
@@ -136,7 +137,7 @@ class Tracker:
         }
 
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
-            self._deal_first_frame(kps, xy_un, n_kps)
+            self._deal_first_frame(kps, xy_un, n_kps, timestamp)
         elif self.state == TrackState.INITIALIZING:
             metrics.update(self._try_initialize(kps, xy_un, n_kps, timestamp))
         elif self.state == TrackState.WORKING:
@@ -152,13 +153,14 @@ class Tracker:
         return metrics
 
     # ------------------------------------------------------------------
-    def _deal_first_frame(self, kps, xy_un, n_kps):
+    def _deal_first_frame(self, kps, xy_un, n_kps, timestamp):
         """``Tracking::DealFirstFrame`` (tracking.cpp:78-91): require >=100
         keypoints, snapshot the frame, move to INITIALIZING."""
         if n_kps < 100:
             self.state = TrackState.NOT_INITIALIZED
             return
-        self.ref = _FrameSnap(kps=kps, xy_un=xy_un, frame_id=self.frame_id)
+        self.ref = _FrameSnap(kps=kps, xy_un=xy_un, frame_id=self.frame_id,
+                              timestamp=timestamp)
         self.state = TrackState.INITIALIZING
 
     def _try_initialize(self, kps, xy_un, n_kps, timestamp) -> dict:
@@ -179,7 +181,8 @@ class Tracker:
         nm = int(res.n_matches)
         if nm < cfg.init.min_matches:
             # reference behavior: re-seed from this frame (tracking.cpp:63-70)
-            self.ref = _FrameSnap(kps=kps, xy_un=xy_un, frame_id=self.frame_id)
+            self.ref = _FrameSnap(kps=kps, xy_un=xy_un, frame_id=self.frame_id,
+                                  timestamp=timestamp)
             return {"init": f"too few matches ({nm})", "n_matches": nm}
         pairs, pv = compact_matches(res.matches12, cfg.matcher.max_matches)
         self._key, sub = jax.random.split(self._key)
@@ -256,12 +259,16 @@ class Tracker:
         matched = np.zeros(kps.valid.shape[0], bool)
         matched[p[:, 1]] = True
         self.prev_kf = _FrameSnap(
-            kps=kps, xy_un=xy_un, frame_id=self.frame_id, matched_to_map=matched
+            kps=kps, xy_un=xy_un, frame_id=self.frame_id,
+            matched_to_map=matched, timestamp=timestamp,
         )
-        # retroactively append the two keyframe poses to the trajectory
+        # retroactively append the reference keyframe's pose to the
+        # trajectory, stamped with ITS capture time (not the current
+        # frame's — that skews TUM-format ATE/RPE time alignment by the
+        # init baseline duration)
         self.trajectory.append(
-            (self.ref.frame_id, timestamp, np.eye(3, dtype=np.float32),
-             np.zeros(3, dtype=np.float32))
+            (self.ref.frame_id, self.ref.timestamp,
+             np.eye(3, dtype=np.float32), np.zeros(3, dtype=np.float32))
         )
         # full BA over the initial two-keyframe map (the ORB-SLAM
         # GlobalBundleAdjustment-after-init step)
@@ -353,7 +360,7 @@ class Tracker:
         self.frames_since_kf += 1
 
         if self._need_keyframe(n_inl):
-            kf_out = self._insert_keyframe(kps, xy_un, pm, res)
+            kf_out = self._insert_keyframe(kps, xy_un, pm, res, timestamp)
             out.update(kf_out)
         return out
 
@@ -370,7 +377,7 @@ class Tracker:
             or n_inliers < tcfg.min_tracked_inliers * 5
         )
 
-    def _insert_keyframe(self, kps, xy_un, pm, pose_res) -> dict:
+    def _insert_keyframe(self, kps, xy_un, pm, pose_res, timestamp=0.0) -> dict:
         """Insert the current frame as a keyframe: record observations of
         tracked map points, then triangulate new points against the
         previous keyframe (the tracking-side slice of ORB-SLAM's local
@@ -428,7 +435,8 @@ class Tracker:
         matched = np.zeros(kps.valid.shape[0], bool)
         matched[kp_idx[tracked_pts]] = True
         self.prev_kf = _FrameSnap(
-            kps=kps, xy_un=xy_un, frame_id=self.frame_id, matched_to_map=matched
+            kps=kps, xy_un=xy_un, frame_id=self.frame_id,
+            matched_to_map=matched, timestamp=timestamp,
         )
         self._bow_add(slot, kps)
         self.n_kf += 1

@@ -75,3 +75,84 @@ def test_bow_vector_normalized(rng):
     valid[8:] = False  # half invalid: must not contribute
     _, bow = transform(voc, jnp.asarray(desc), jnp.asarray(valid))
     assert abs(float(jnp.sum(jnp.abs(bow))) - 1.0) < 1e-5
+
+
+def test_scoring_family_properties(rng):
+    from orb_slam_tracking_tpu.bow.database import SCORINGS, score_pairwise
+
+    centers = rng.integers(0, 2**32, (20, 8), dtype=np.uint32)
+    train = np.concatenate([_noisy(rng, c, 30) for c in centers])
+    voc = build_vocabulary(train, k=5, depth=3, seed=3)
+    sceneA = np.concatenate([_noisy(rng, centers[i], 5) for i in range(8)])
+    sceneA2 = np.concatenate([_noisy(rng, centers[i], 5) for i in range(8)])
+    sceneB = np.concatenate([_noisy(rng, centers[i], 5) for i in range(8, 16)])
+    _, a = transform(voc, jnp.asarray(sceneA), jnp.ones(len(sceneA), bool))
+    _, a2 = transform(voc, jnp.asarray(sceneA2), jnp.ones(len(sceneA2), bool))
+    _, b = transform(voc, jnp.asarray(sceneB), jnp.ones(len(sceneB), bool))
+    for name in SCORINGS:
+        same = float(score_pairwise(a, a2, name))
+        diff = float(score_pairwise(a, b, name))
+        assert same > diff, name  # every scoring ranks the revisit higher
+    # self-similarity fixed points (ScoringObject.cpp normalization):
+    assert abs(float(score_pairwise(a, a, "l1")) - 1.0) < 1e-5
+    assert abs(float(score_pairwise(a, a, "l2")) - 1.0) < 1e-5
+    assert abs(float(score_pairwise(a, a, "chi2")) - 1.0) < 1e-5
+    assert abs(float(score_pairwise(a, a, "kl")) - 0.0) < 1e-5
+    assert abs(float(score_pairwise(a, a, "bhattacharyya")) - 1.0) < 1e-4
+
+
+def test_query_scoring_dispatch(rng):
+    centers = rng.integers(0, 2**32, (12, 8), dtype=np.uint32)
+    train = np.concatenate([_noisy(rng, c, 30) for c in centers])
+    voc = build_vocabulary(train, k=4, depth=3, seed=4)
+    s1 = np.concatenate([_noisy(rng, centers[i], 5) for i in range(6)])
+    s2 = np.concatenate([_noisy(rng, centers[i], 5) for i in range(6, 12)])
+    _, b1 = transform(voc, jnp.asarray(s1), jnp.ones(len(s1), bool))
+    _, b2 = transform(voc, jnp.asarray(s2), jnp.ones(len(s2), bool))
+    db = add_keyframe(add_keyframe(empty_database(4, voc.n_words), 0, b1), 1, b2)
+    for name in ("l1", "l2", "chi2", "kl", "bhattacharyya", "dot"):
+        sc = np.asarray(query(db, b1, scoring=name))
+        assert sc[0] > sc[1], name
+        assert np.isneginf(sc[2:]).all()
+
+
+def test_vocabulary_save_load_roundtrip(rng, tmp_path):
+    from orb_slam_tracking_tpu.bow.vocabulary import (
+        load_vocabulary,
+        save_vocabulary,
+    )
+
+    centers = rng.integers(0, 2**32, (15, 8), dtype=np.uint32)
+    train = np.concatenate([_noisy(rng, c, 25) for c in centers])
+    voc = build_vocabulary(train, k=4, depth=3, seed=5)
+    path = str(tmp_path / "vocab.npz")
+    save_vocabulary(voc, path)
+    voc2 = load_vocabulary(path)
+    assert voc2.k == voc.k and voc2.depth == voc.depth
+    for a, b in zip(voc.node_desc, voc2.node_desc):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(voc.word_weight), np.asarray(voc2.word_weight)
+    )
+    # transforms agree exactly
+    q = _noisy(rng, centers[0], 10)
+    w1, b1 = transform(voc, jnp.asarray(q), np.ones(10, bool))
+    w2, b2 = transform(voc2, jnp.asarray(q), np.ones(10, bool))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2))
+
+
+def test_direct_index_nodes(rng):
+    from orb_slam_tracking_tpu.bow.vocabulary import direct_index_nodes
+
+    centers = rng.integers(0, 2**32, (10, 8), dtype=np.uint32)
+    train = np.concatenate([_noisy(rng, c, 25) for c in centers])
+    voc = build_vocabulary(train, k=3, depth=3, seed=6)
+    words = jnp.asarray([0, 1, 2, 3, 8, 9, 26], jnp.int32)
+    # levels_up=1: parent of word w is w // k
+    np.testing.assert_array_equal(
+        np.asarray(direct_index_nodes(voc, words, 1)),
+        np.asarray(words) // 3,
+    )
+    # levels_up=depth: everything maps to the root
+    assert (np.asarray(direct_index_nodes(voc, words, 3)) == 0).all()
