@@ -1,35 +1,43 @@
 #!/usr/bin/env python
-"""Headline benchmark: ORB pyramid extraction throughput (frames/s/chip).
+"""Headline benchmark: full tracking-step throughput (frames/s/chip),
+with ORB-extraction throughput as a secondary field.
 
-BASELINE.json config[1]: 8-level pyramid, 2000 keypoints, 640x480 frames.
-Baseline anchor: the reference's own C++ ORBextractor measured on this
-host's CPU at the same operating point (2000 features, 1.2x, 8 levels,
-FAST 20/7, the reference demo image resized to 640x480):
+Metrics (BASELINE.json):
+- tracking step (config[2] shape): 1000-kp ORB extraction + projection
+  matching of an 8192-point map + two-stage pose-only LM — ONE fused
+  jitted program (slam/fused_step.py). CPU anchor: the reference's own
+  ORBextractor + grid projection-matcher + ORB-SLAM's 4x10 Huber LM,
+  single thread, same synthetic frame/map recipe
+  (native/tracking_anchor.cpp): 20.36 frames/s on this host.
+- extraction (config[1]): 8 levels, 2000 keypoints, 640x480. CPU anchor:
+  the reference C++ ORBextractor at the same operating point: 115.975
+  frames/s on this host.
 
-    ref_extractor_fps = 115.975   (g++ -O3 -march=native, 30-iter mean)
-    (OpenCV 4 cv::ORB on the same image: 162.92 fps — secondary anchor)
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N,
+   "extraction_frames_per_s": N, "extraction_vs_cpu": N}
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
-
-Measurement notes: the TPU is reached through a relay whose
-block_until_ready/fetch latencies are unreliable, so throughput is
-measured with *chained* extraction steps (each step's input depends on the
-previous result, forcing sequential device execution) and a two-point
-(N1, N2) wall-time difference that cancels constant dispatch/fetch
-overhead.
+Measurement notes: the TPU relay's block_until_ready/fetch latencies are
+unreliable, so each metric is measured with *chained* scan-fused steps
+(every frame's input depends on the previous result and the probe
+consumes EVERY output, so nothing can be dead-code-eliminated or
+reordered), a drain chain before timing (the first post-warmup fetch
+carries one-time cost), and a two-point (N1, N2) wall-time difference
+that cancels constant dispatch/fetch overhead.
 """
 
 import json
+import os
 import sys
 import time
 
-REF_CPU_FPS = 115.975  # reference C++ ORBextractor, this host (see above)
+REF_TRACKING_CPU_FPS = 20.36   # native/tracking_anchor.cpp, this host
+REF_EXTRACT_CPU_FPS = 115.975  # reference C++ ORBextractor, this host
+
+_SCAN = 8  # frames fused per device call
 
 
 def main():
-    import os
-
     import jax
 
     if os.environ.get("ORB_BENCH_CPU") == "1":
@@ -39,59 +47,123 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from orb_slam_tracking_tpu.config import OrbConfig
+    from orb_slam_tracking_tpu.config import (
+        CameraConfig,
+        MatcherConfig,
+        OrbConfig,
+        TrackerConfig,
+    )
     from orb_slam_tracking_tpu.ops.extractor import orb_extract
+    from orb_slam_tracking_tpu.slam.fused_step import make_tracking_step
 
-    # deterministic synthetic texture (no file dependency): smooth noise
     rng = np.random.default_rng(0)
     base = rng.uniform(0, 255, (480, 640)).astype(np.float32)
-    cfg = OrbConfig(n_features=2000, max_keypoints=2048)
 
-    @jax.jit
-    def chained_step(x):
-        kps = orb_extract(x, cfg)
-        # data dependency on EVERY output so no stage can be dead-code
-        # eliminated; the next frame differs by a tiny function of the
-        # result, so the chain cannot be elided or reordered
-        probe = (
-            jnp.sum(kps.response)
-            + jnp.sum(kps.angle_deg)
-            + jnp.sum(kps.xy)
+    # ORB_BENCH_ATLAS=0 measures the per-level extraction path (A/B)
+    use_atlas = os.environ.get("ORB_BENCH_ATLAS", "1") != "0"
+    ecfg = OrbConfig(n_features=2000, max_keypoints=2048, use_atlas=use_atlas)
+
+    def probe_all(kps):
+        return (
+            jnp.sum(kps.response) + jnp.sum(kps.angle_deg) + jnp.sum(kps.xy)
             + jnp.sum(kps.desc.astype(jnp.float32))
-            + jnp.sum(kps.valid.astype(jnp.float32))
-            + jnp.sum(kps.size)
+            + jnp.sum(kps.valid.astype(jnp.float32)) + jnp.sum(kps.size)
             + jnp.sum(kps.octave.astype(jnp.float32))
         )
-        return x + probe * 1e-12
+
+    @jax.jit
+    def extract_scan(x):
+        def body(c, _):
+            kps = orb_extract(c, ecfg)
+            return c + probe_all(kps) * 1e-12, None
+        out, _ = jax.lax.scan(body, x, None, length=_SCAN)
+        return out
+
+    # --- tracking step at the CPU anchor's exact shape ---
+    cam = CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=240.0,
+                       width=640, height=480)
+    ocfg1 = OrbConfig(n_features=1000, use_atlas=use_atlas)
+    step = make_tracking_step(cam, ocfg1, MatcherConfig(), TrackerConfig())
+
+    kps0 = jax.jit(lambda im: orb_extract(im, ocfg1))(jnp.asarray(base))
+    kx = np.asarray(kps0.xy)
+    kd = np.asarray(kps0.desc)
+    sel = np.where(np.asarray(kps0.valid))[0]
+    P = 8192
+    rep = np.concatenate([sel, rng.choice(sel, P - len(sel))])
+    z = rng.uniform(4.0, 9.0, P).astype(np.float32)
+    map_pts = jnp.asarray(np.stack([
+        (kx[rep, 0] - cam.cx) / cam.fx * z,
+        (kx[rep, 1] - cam.cy) / cam.fy * z,
+        z,
+    ], -1))
+    md = kd[rep].copy()
+    flips = rng.integers(0, 256, (P, 5))
+    for i in range(len(sel), P):
+        for b in flips[i]:
+            md[i, b // 32] ^= np.uint32(1) << np.uint32(b % 32)
+    map_desc = jnp.asarray(md)
+    map_valid = jnp.ones(P, bool)
+    K = jnp.asarray(np.array(
+        [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], np.float32))
+
+    @jax.jit
+    def track_scan(carry):
+        def body(c, _):
+            img, R, t = c
+            r = step(img, map_pts, map_desc, map_valid, R, t, R, t, K)
+            probe = (
+                jnp.sum(r.R) + jnp.sum(r.t) + r.n_inliers + r.n_matches1
+                + r.n_matches2 + r.n_kps + jnp.sum(r.kp_for_point)
+                + jnp.sum(r.inlier) + jnp.sum(r.visible)
+                + probe_all(r.kps) + jnp.sum(r.xy_un)
+            )
+            return (img + probe.astype(jnp.float32) * 1e-12, r.R, r.t), None
+        out, _ = jax.lax.scan(body, carry, None, length=_SCAN)
+        return out
+
+    def measure(fn, arg, fetch, n1=4, n2=12):
+        # warm + drain
+        y = fn(arg)
+        _ = fetch(y)
+        xx = arg
+        for _ in range(3):
+            xx = fn(xx)
+        _ = fetch(xx)
+        # two-point chained timing
+        xx = arg
+        t0 = time.time()
+        for _ in range(n1):
+            xx = fn(xx)
+        _ = fetch(xx)
+        t_a = time.time() - t0
+        xx = arg
+        t0 = time.time()
+        for _ in range(n2):
+            xx = fn(xx)
+        _ = fetch(xx)
+        t_b = time.time() - t0
+        per = (t_b - t_a) / ((n2 - n1) * _SCAN)
+        fps = 1.0 / max(per, 1e-9)
+        # degenerate relay readings: fall back to the long-chain mean
+        if t_b <= t_a or fps > 1e6:
+            fps = (n2 * _SCAN) / max(t_b, 1e-9)
+        return fps
 
     x = jnp.asarray(base)
-    # warmup: compile + one fetch
-    x1 = chained_step(x)
-    _ = float(x1[0, 0])
-
-    def run_chain(n):
-        xx = x
-        t0 = time.time()
-        for _ in range(n):
-            xx = chained_step(xx)
-        _ = float(xx[0, 0])  # single scalar fetch forces execution
-        return time.time() - t0
-
-    n1, n2 = 10, 40
-    t_a = run_chain(n1)
-    t_b = run_chain(n2)
-    per_frame = max((t_b - t_a) / (n2 - n1), 1e-9)
-    fps = 1.0 / per_frame
-    # guard against nonsensical readings from the relay: fall back to the
-    # single-chain estimate if the difference method degenerates
-    if t_b <= t_a or fps > 1e6:
-        fps = n2 / max(t_b, 1e-9)
+    extract_fps = measure(extract_scan, x, lambda v: float(v[0, 0]))
+    track_fps = measure(
+        track_scan, (x, jnp.eye(3), jnp.zeros(3)),
+        lambda v: float(v[0][0, 0]),
+    )
 
     print(json.dumps({
-        "metric": "orb_extraction_640x480_2000kp_frames_per_s_per_chip",
-        "value": round(fps, 2),
+        "metric": "tracking_step_1000kp_8192pt_frames_per_s_per_chip",
+        "value": round(track_fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / REF_CPU_FPS, 3),
+        "vs_baseline": round(track_fps / REF_TRACKING_CPU_FPS, 3),
+        "extraction_frames_per_s": round(extract_fps, 2),
+        "extraction_vs_cpu": round(extract_fps / REF_EXTRACT_CPU_FPS, 3),
     }))
     return 0
 

@@ -51,7 +51,16 @@ bool decode_png(const char* path, Frame* out) {
   }
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {  // allocation can fail under OOM; png_jmpbuf(null) crashes
+    std::fclose(fp);
+    return false;
+  }
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    std::fclose(fp);
+    return false;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     std::fclose(fp);
@@ -69,14 +78,23 @@ bool decode_png(const char* path, Frame* out) {
   if (color == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(png);
   if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
   png_set_strip_alpha(png);
+  // Adam7-interlaced PNGs need the full-image pass structure; with
+  // interlace handling enabled we must read whole-image rows per pass.
+  int passes = png_set_interlace_handling(png);
   png_read_update_info(png, info);
   int channels = png_get_channels(png, info);
-  std::vector<png_byte> row(static_cast<size_t>(w) * channels);
   out->height = static_cast<int>(h);
   out->width = static_cast<int>(w);
   out->gray.resize(static_cast<size_t>(w) * h);
+  std::vector<png_byte> img(static_cast<size_t>(w) * h * channels);
+  std::vector<png_bytep> rows(h);
+  for (png_uint_32 y = 0; y < h; ++y)
+    rows[y] = img.data() + static_cast<size_t>(y) * w * channels;
+  for (int pass = 0; pass < passes; ++pass)
+    for (png_uint_32 y = 0; y < h; ++y)
+      png_read_row(png, rows[y], nullptr);
   for (png_uint_32 y = 0; y < h; ++y) {
-    png_read_row(png, row.data(), nullptr);
+    const png_byte* row = rows[y];
     float* dst = out->gray.data() + static_cast<size_t>(y) * w;
     if (channels == 1) {
       for (png_uint_32 x2 = 0; x2 < w; ++x2) dst[x2] = row[x2];

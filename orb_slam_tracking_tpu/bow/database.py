@@ -119,6 +119,11 @@ def add_keyframe(db: KeyframeDatabase, slot, bow_vec: jnp.ndarray) -> KeyframeDa
     )
 
 
+def remove_keyframe(db: KeyframeDatabase, slot) -> KeyframeDatabase:
+    """Drop a culled keyframe from the index (TemplatedDatabase erase)."""
+    return KeyframeDatabase(bow=db.bow, valid=db.valid.at[slot].set(False))
+
+
 @partial(jax.jit, static_argnames=("scoring",))
 def query(db: KeyframeDatabase, bow_vec: jnp.ndarray, scoring: str = "l1"):
     """Similarity of the query against every stored keyframe.

@@ -218,6 +218,30 @@ class TrackerConfig:
     # Local BA window.
     ba_window: int = 20
     ba_iterations: int = 10
+    # --- map lifecycle (ORB-SLAM LocalMapping semantics) ---
+    # Covisibility-graph triangulation: new points are triangulated against
+    # the best-covisible keyframes (CreateNewMapPoints), not just the
+    # previous one.
+    covis_keyframes: int = 3
+    covis_min_shared: int = 15
+    # Fuse: a candidate new point whose keypoint sits within this radius of
+    # an existing point's projection (and matches its descriptor) is an
+    # association to that point, not a new one.
+    fuse_radius_px: float = 2.0
+    # MapPointCulling: a point must reach >= cull_min_obs keyframe
+    # observations within cull_age_kfs keyframes of its creation, and keep
+    # a tracking found/visible ratio above cull_found_ratio.
+    cull_min_obs: int = 3
+    cull_age_kfs: int = 3
+    cull_found_ratio: float = 0.25
+    cull_min_visible: int = 8
+    # KeyFrameCulling: a keyframe is redundant when this fraction of its
+    # points is observed by >= 4 keyframes.
+    kf_redundancy_frac: float = 0.9
+    # Relocalization: number of BoW place-recognition candidates whose
+    # observed points bound the 2D-3D search (TemplatedDatabase.h:35 query
+    # -> candidates; map-wide fallback only without a vocabulary).
+    reloc_bow_candidates: int = 5
 
 
 @dataclasses.dataclass(frozen=True)

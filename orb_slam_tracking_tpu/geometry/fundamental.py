@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from .homography import normalize_points
 
-__all__ = ["solve_f_8point", "decompose_essential"]
+__all__ = ["solve_f_8point", "decompose_essential", "fundamental_from_poses"]
 
 _EPS = 1e-12
 
@@ -66,3 +66,19 @@ def decompose_essential(F: jnp.ndarray, K: jnp.ndarray) -> Tuple[jnp.ndarray, jn
     R = jnp.stack([R1, R1, R2, R2])
     ts = jnp.stack([t, -t, t, -t])
     return R, ts
+
+
+def fundamental_from_poses(R1, t1, R2, t2, K):
+    """F21 from two world-to-camera poses: maps view-1 pixels to view-2
+    epipolar lines, ``F21 = K^-T [t21]_x R21 K^-1`` with the relative pose
+    ``T21 = T2 o T1^-1`` (ORB-SLAM's ComputeF12 transposed convention;
+    used by the triangulation matcher's epipolar gate)."""
+    R21 = R2 @ R1.T
+    t21 = t2 - R21 @ t1
+    tx = jnp.array([
+        [0.0, -t21[2], t21[1]],
+        [t21[2], 0.0, -t21[0]],
+        [-t21[1], t21[0], 0.0],
+    ])
+    Kinv = jnp.linalg.inv(K)
+    return Kinv.T @ tx @ R21 @ Kinv

@@ -33,7 +33,10 @@ import jax.numpy as jnp
 from ..config import MatcherConfig
 from .hamming import hamming_matrix
 
-__all__ = ["MatchResult", "search_for_initialization", "compact_matches"]
+__all__ = [
+    "MatchResult", "search_for_initialization", "compact_matches",
+    "search_for_triangulation",
+]
 
 _BIG = jnp.int32(1 << 20)
 
@@ -139,6 +142,103 @@ def search_for_initialization(
     return MatchResult(
         matches12=matches12,
         distances=distances,
+        n_matches=jnp.sum(keep.astype(jnp.int32)),
+        n_reject_distance=n_reject_distance,
+        n_reject_ratio=n_reject_ratio,
+        n_reject_orientation=n_reject_orientation,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "scale_factor"))
+def search_for_triangulation(
+    desc1: jnp.ndarray,
+    xy1: jnp.ndarray,
+    octave1: jnp.ndarray,
+    angle1: jnp.ndarray,
+    valid1: jnp.ndarray,
+    desc2: jnp.ndarray,
+    xy2: jnp.ndarray,
+    octave2: jnp.ndarray,
+    angle2: jnp.ndarray,
+    valid2: jnp.ndarray,
+    F21: jnp.ndarray,
+    cfg: MatcherConfig,
+    scale_factor: float = 1.2,
+) -> MatchResult:
+    """Epipolar-gated matching of unassociated keypoints between two
+    keyframes — ORB-SLAM's ``SearchForTriangulation`` role for
+    ``CreateNewMapPoints`` (the capability the reference's vendored stack
+    declares; its own matcher stops at initialization).
+
+    Unlike ``search_for_initialization`` there is NO octave-0 restriction
+    and no window: candidates are gated by the epipolar line instead —
+    the squared point-to-line distance of the frame-2 keypoint from
+    ``F21 @ x1`` must be below ``3.84 * sigma2(octave2)``
+    (ORB-SLAM's CheckDistEpipolarLine chi2 bound, per-octave sigma).
+    ``F21`` maps frame-1 pixels to frame-2 epipolar lines.
+    """
+    n1 = desc1.shape[0]
+
+    D = hamming_matrix(desc1, desc2)  # [N1, N2]
+
+    ones1 = jnp.ones_like(xy1[:, :1])
+    p1 = jnp.concatenate([xy1, ones1], axis=-1)              # [N1, 3]
+    l2 = p1 @ F21.T                                          # [N1, 3]
+    num = l2[:, 0:1] * xy2[None, :, 0] + l2[:, 1:2] * xy2[None, :, 1] + l2[:, 2:3]
+    den = jnp.maximum(l2[:, 0:1] ** 2 + l2[:, 1:2] ** 2, 1e-12)
+    dsq = (num * num) / den                                  # [N1, N2]
+    sigma2_2 = scale_factor ** (2.0 * octave2.astype(jnp.float32))  # [N2]
+    on_epiline = dsq < 3.84 * sigma2_2[None, :]
+
+    eligible = valid1[:, None] & valid2[None, :] & on_epiline
+    Dm = jnp.where(eligible, D, _BIG)
+
+    best = jnp.min(Dm, axis=1)
+    best_j = jnp.argmin(Dm, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, Dm.shape, 1)
+    second = jnp.min(jnp.where(cols == best_j[:, None], _BIG, Dm), axis=1)
+
+    had_candidate = best < _BIG
+    pass_low = best <= cfg.th_low
+    pass_ratio = best.astype(jnp.float32) < cfg.nn_ratio * second.astype(jnp.float32)
+    accept = had_candidate & pass_low & pass_ratio
+
+    rows = jnp.arange(n1, dtype=jnp.int32)
+    sentinel = jnp.int32(jnp.iinfo(jnp.int32).max)
+    key = jnp.where(accept, best * jnp.int32(n1) + rows, sentinel)
+    n2 = desc2.shape[0]
+    min_key_per_j = jnp.full((n2,), sentinel, dtype=jnp.int32).at[best_j].min(key)
+    keep = accept & (key == min_key_per_j[best_j])
+
+    n_reject_distance = jnp.sum(had_candidate & ~pass_low)
+    n_reject_ratio = jnp.sum(had_candidate & pass_low & ~pass_ratio)
+
+    if cfg.check_orientation:
+        rot = angle1 - angle2[best_j]
+        rot = jnp.where(rot < 0, rot + 360.0, rot)
+        factor = cfg.histo_length / 360.0
+        b = jnp.round(rot * factor).astype(jnp.int32)
+        b = jnp.where(b == cfg.histo_length, 0, b)
+        counts = jnp.zeros((cfg.histo_length,), jnp.int32).at[b].add(
+            keep.astype(jnp.int32)
+        )
+        top_counts, top_bins = jax.lax.top_k(counts, 3)
+        c1, c2, c3 = top_counts[0], top_counts[1], top_counts[2]
+        allow2 = c2.astype(jnp.float32) >= 0.1 * c1.astype(jnp.float32)
+        allow3 = c3.astype(jnp.float32) >= 0.1 * c1.astype(jnp.float32)
+        in_top = (
+            (b == top_bins[0])
+            | ((b == top_bins[1]) & allow2)
+            | ((b == top_bins[2]) & allow3)
+        )
+        n_reject_orientation = jnp.sum(keep & ~in_top)
+        keep = keep & in_top
+    else:
+        n_reject_orientation = jnp.int32(0)
+
+    return MatchResult(
+        matches12=jnp.where(keep, best_j.astype(jnp.int32), -1),
+        distances=jnp.where(keep, best, _BIG),
         n_matches=jnp.sum(keep.astype(jnp.int32)),
         n_reject_distance=n_reject_distance,
         n_reject_ratio=n_reject_ratio,

@@ -142,7 +142,7 @@ _S_CHUNK = 256  # sample-axis chunk (bounds the [G, S, COLS] VMEM buffers)
 
 def _brief_kernel(rs_ref, cs_ref, ly_ref, lx_ref, img_ref, out_ref,
                   patch_ref, sems):
-    """A group of keypoints per grid step.
+    """A group of keypoints per grid step, DOUBLE-BUFFERED.
 
     rs/cs: prefetched aligned patch origins [N]; ly/lx: [G, 512] local
     sample coordinates inside each keypoint's patch; img: full padded
@@ -150,32 +150,46 @@ def _brief_kernel(rs_ref, cs_ref, ly_ref, lx_ref, img_ref, out_ref,
 
     Per keypoint, the 512 scattered reads become two one-hot
     contractions: vals[s] = rowhot[s, :] @ patch @ colhot[s, :]^T — an
-    MXU matmul plus a VPU masked reduce instead of scalar gathers. All
-    patch DMAs are in flight before the first compute; the sample axis is
-    chunked so the one-hot/tmp buffers stay within VMEM.
+    MXU matmul plus a VPU masked reduce instead of scalar gathers. The
+    patch scratch is [2, G, ...]: while group i computes from slot i%2,
+    group i+1's DMAs stream into the other slot — grid steps execute
+    sequentially, so the produced->consumed hazard is one step apart and
+    the overlap hides the (dominant) HBM patch-fetch latency.
     """
     i = pl.program_id(0)
-    dmas = []
-    for j in range(_KP_GROUP):
-        k = i * _KP_GROUP + j
+    n_steps = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+
+    def dma_for(step, buf, j):
+        k = step * _KP_GROUP + j
         rs = pl.multiple_of(rs_ref[k], 8)     # origins are pre-aligned by
         cs = pl.multiple_of(cs_ref[k], 128)   # the host wrapper
-        dma = pltpu.make_async_copy(
+        return pltpu.make_async_copy(
             img_ref.at[pl.ds(rs, _P_ROWS), pl.ds(cs, _P_COLS)],
-            patch_ref.at[j],
-            sems.at[j],
+            patch_ref.at[buf, j],
+            sems.at[buf, j],
         )
-        dma.start()
-        dmas.append(dma)
+
+    @pl.when(i == 0)
+    def _():
+        for j in range(_KP_GROUP):
+            dma_for(i, slot, j).start()
+
+    @pl.when(i + 1 < n_steps)
+    def _():
+        nxt = jax.lax.rem(i + 1, 2)
+        for j in range(_KP_GROUP):
+            dma_for(i + 1, nxt, j).start()
+
     rows_iota = jax.lax.broadcasted_iota(
         jnp.int32, (_KP_GROUP, _S_CHUNK, _P_ROWS), 2
     )
     cols_iota = jax.lax.broadcasted_iota(
         jnp.int32, (_KP_GROUP, _S_CHUNK, _P_COLS), 2
     )
-    for d in dmas:
-        d.wait()
-    patches = patch_ref[:]
+    for j in range(_KP_GROUP):
+        dma_for(i, slot, j).wait()
+    patches = patch_ref[slot]
     # The one-hot selection must reproduce the f32 pixel values exactly,
     # but HIGHEST-precision f32 matmuls cost 6 bf16 MXU passes. Instead
     # split the patch into an exact bf16 hi/lo pair (x == hi + lo in f32
@@ -239,8 +253,8 @@ def brief_sample_pallas(blurred_padded: jnp.ndarray, sy: jnp.ndarray,
         out_specs=pl.BlockSpec((_KP_GROUP, 512), lambda i, rs, cs: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((_KP_GROUP, _P_ROWS, _P_COLS), jnp.float32),
-            pltpu.SemaphoreType.DMA((_KP_GROUP,)),
+            pltpu.VMEM((2, _KP_GROUP, _P_ROWS, _P_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, _KP_GROUP)),
         ],
     )
     out = pl.pallas_call(

@@ -30,6 +30,8 @@ class ProjMatchResult(NamedTuple):
     uv_proj: jnp.ndarray       # [P, 2] projected pixel of each map point
     n_matches: jnp.ndarray     # [] int32
     n_visible: jnp.ndarray     # [] int32 points projecting inside the image
+    visible: jnp.ndarray       # [P] bool per-point frustum visibility
+    #                            (feeds MapPoint mnVisible/mnFound tallies)
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height"))
@@ -106,4 +108,5 @@ def search_by_projection(
         uv_proj=uv,
         n_matches=jnp.sum(keep.astype(jnp.int32)),
         n_visible=jnp.sum(visible.astype(jnp.int32)),
+        visible=visible,
     )

@@ -12,10 +12,16 @@ cpp:61-164``; reprojection edges with analytic Jacobians
   the natural array form of the factor graph;
 - per-camera 6x6 ``U``, per-point 3x3 ``V`` and the RHS accumulate with
   ``segment_sum`` (scatter-add) over the observation axis;
-- the camera-point coupling is materialized DENSE as ``W [P, K, 6, 3]``
-  (a few tens of MB at full capacity) so the Schur reduction
-  ``S = U - W V^-1 W^T`` becomes two einsums that ride the MXU — no
-  sparse bookkeeping, no data-dependent shapes;
+- the camera-point coupling is materialized dense — but only over the
+  FREE cameras: a fixed camera never enters the Schur system (its update
+  is pinned to zero; its observations still shape ``V`` and the point
+  RHS), so ``W`` is ``[P, Kf, 6, 3]`` with ``Kf = max_free_cams``
+  (the BA window), not the full keyframe capacity. At 20k points and a
+  20-camera window that is ~29 MB instead of the ~100+ MB a [P, K]
+  coupling would cost — the memory scale g2o's sparse ``_Hpl``
+  (``block_solver.h:150-155``) achieves by bookkeeping, achieved here by
+  exploiting the fixed/free split. The Schur reduction
+  ``S = U - W V^-1 W^T`` stays two einsums that ride the MXU;
 - V^-1 is a closed-form batched 3x3 adjugate inverse (small-matrix
   ``linalg.inv`` is latency-bound on TPU);
 - the reduced camera system solves by Cholesky; gauge freedom is removed
@@ -105,7 +111,7 @@ def _obs_residuals(kf_R, kf_t, pts, obs_kf, obs_pt, obs_uv, fx, fy, cx, cy):
     return r, Jc, Jp, z
 
 
-@partial(jax.jit, static_argnames=("iterations",))
+@partial(jax.jit, static_argnames=("iterations", "max_free_cams"))
 def bundle_adjust(
     kf_R: jnp.ndarray,
     kf_t: jnp.ndarray,
@@ -119,15 +125,23 @@ def bundle_adjust(
     pt_valid: jnp.ndarray,
     K: jnp.ndarray,
     iterations: int = 10,
+    max_free_cams: int | None = None,
 ) -> BAResult:
     """Joint pose+structure LM over the observation list.
 
     kf_fixed: [K] bool — cameras excluded from the update (gauge anchors /
     out-of-window keyframes, like g2o's ``setFixed``).
+
+    max_free_cams: static bound on the number of FREE cameras (the local
+    BA window). The Schur coupling is materialized only over this compact
+    axis; callers whose free count can exceed it must raise it (results
+    are silently wrong otherwise — the tracker passes its ba_window).
+    None = all cameras (global BA).
     """
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     nK = kf_R.shape[0]
     nP = pts.shape[0]
+    nF = nK if max_free_cams is None else min(max_free_cams, nK)
 
     w_info = jnp.where(obs_valid, obs_inv_sigma2, 0.0)
 
@@ -141,6 +155,11 @@ def bundle_adjust(
         return jnp.sum(rho)
 
     free_cam = jnp.logical_not(kf_fixed)
+    # compact free-camera index: free camera k -> rank in [0, nF); fixed
+    # cameras -> the dump slot nF (their coupling never enters S)
+    free_rank = jnp.cumsum(free_cam.astype(jnp.int32)) - 1
+    fidx = jnp.where(free_cam, jnp.minimum(free_rank, nF - 1), nF)
+    obs_fidx = fidx[obs_kf]
 
     def step(carry, _):
         R, t, X, lam, nu, cost = carry
@@ -157,10 +176,10 @@ def bundle_adjust(
         )
         g_c = jnp.zeros((nK, 6)).at[obs_kf].add(jnp.einsum("ori,o,or->oi", Jc, w, r))
         g_p = jnp.zeros((nP, 3)).at[obs_pt].add(jnp.einsum("ori,o,or->oi", Jp, w, r))
-        # dense coupling W[p, k, 6, 3]
-        Wb = jnp.zeros((nP, nK, 6, 3)).at[obs_pt, obs_kf].add(
+        # coupling over the compact free-camera axis (+1 dump slot)
+        Wb = jnp.zeros((nP, nF + 1, 6, 3)).at[obs_pt, obs_fidx].add(
             jnp.einsum("ori,o,orj->oij", Jc, w, Jp)
-        )
+        )[:, :nF]
 
         # damping (multiplicative on block diagonals, g2o setLambda style)
         eyeK = jnp.eye(6)
@@ -171,31 +190,43 @@ def bundle_adjust(
         Vd = jnp.where(pt_valid[:, None, None], Vd, jnp.eye(3))
         Vinv = inv3x3(Vd)
 
-        Y = jnp.einsum("pkil,plm->pkim", Wb, Vinv)  # [P, K, 6, 3]
-        S = jnp.zeros((nK, 6, nK, 6)).at[
-            jnp.arange(nK), :, jnp.arange(nK), :
-        ].add(Ud)
+        # free-camera system in compact coordinates
+        Ud_free = jnp.zeros((nF + 1, 6, 6)).at[fidx].add(Ud)[:nF]
+        g_c_free = jnp.zeros((nF + 1, 6)).at[fidx].add(
+            jnp.where(free_cam[:, None], g_c, 0.0)
+        )[:nF]
+
+        Y = jnp.einsum("pkil,plm->pkim", Wb, Vinv)  # [P, nF, 6, 3]
+        S = jnp.zeros((nF, 6, nF, 6)).at[
+            jnp.arange(nF), :, jnp.arange(nF), :
+        ].add(Ud_free)
         S = S - jnp.einsum("pkil,pmjl->kimj", Y, Wb)
-        rhs = -g_c + jnp.einsum("pkil,pl->ki", Y, g_p)  # [K, 6]
+        rhs = -g_c_free + jnp.einsum("pkil,pl->ki", Y, g_p)  # [nF, 6]
 
-        # gauge: zero fixed-camera rows/cols, identity diagonal
-        fmask = free_cam.astype(S.dtype)
-        S = S * fmask[:, None, None, None] * fmask[None, None, :, None]
-        S = S.at[jnp.arange(nK), :, jnp.arange(nK), :].add(
-            jnp.where(kf_fixed[:, None, None], jnp.eye(6), 0.0)
+        # empty compact slots (fewer free cams than nF): identity diagonal
+        occupied = jnp.arange(nF) < jnp.sum(free_cam.astype(jnp.int32))
+        omask = occupied.astype(S.dtype)
+        S = S * omask[:, None, None, None] * omask[None, None, :, None]
+        S = S.at[jnp.arange(nF), :, jnp.arange(nF), :].add(
+            jnp.where(~occupied[:, None, None], jnp.eye(6), 0.0)
         )
-        rhs = rhs * fmask[:, None]
+        rhs = rhs * omask[:, None]
 
-        Sm = S.reshape(nK * 6, nK * 6)
-        Sm = Sm + 1e-8 * jnp.eye(nK * 6)
-        dxc = jax.scipy.linalg.cho_solve(
+        Sm = S.reshape(nF * 6, nF * 6)
+        Sm = Sm + 1e-8 * jnp.eye(nF * 6)
+        dxc_free = jax.scipy.linalg.cho_solve(
             jax.scipy.linalg.cho_factor(Sm), rhs.reshape(-1)
-        ).reshape(nK, 6)
-        dxc = jnp.where(free_cam[:, None], dxc, 0.0)
+        ).reshape(nF, 6)
+        # expand back to the full camera axis
+        dxc = jnp.where(
+            free_cam[:, None],
+            dxc_free[jnp.clip(free_rank, 0, nF - 1)],
+            0.0,
+        )
         # back-substitute points
         dxp = jnp.einsum(
             "pij,pj->pi", Vinv,
-            -(g_p + jnp.einsum("pkil,ki->pl", Wb, dxc)),
+            -(g_p + jnp.einsum("pkil,ki->pl", Wb, dxc_free)),
         )
         dxp = jnp.where(pt_valid[:, None], dxp, 0.0)
 

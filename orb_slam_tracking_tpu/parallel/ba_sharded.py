@@ -119,21 +119,36 @@ def bundle_adjust_sharded(
     pt_valid: jnp.ndarray,
     K: jnp.ndarray,
     iterations: int = 10,
+    max_free_cams: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Distributed LM BA. Returns (kf_R, kf_t, pts, final_cost).
 
     ``pts``/``pt_valid`` are sharded on the point axis; camera arrays are
     replicated; observation arrays are sharded to follow their points.
+
+    ``max_free_cams`` bounds the Schur coupling (and the psum'd S) to the
+    free-camera window, exactly as in ``optim.ba.bundle_adjust`` — the
+    collectives shrink with it too.
     """
     axis = mesh.axis_names[0]
     nK = kf_R.shape[0]
-    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
-    free_cam = jnp.logical_not(kf_fixed)
+    nF = nK if max_free_cams is None else min(max_free_cams, nK)
 
+    # NOTE: everything array-valued must enter shard_fn as an ARGUMENT —
+    # a closure-captured global jax.Array carries its (Auto-mesh) sharding
+    # into the Manual shard_map context and fails to canonicalize in the
+    # multi-process path.
     def shard_fn(kf_R, kf_t, pts, obs_kf, obs_pt, obs_uv, w_info0, obs_valid,
-                 pt_valid):
+                 pt_valid, kf_fixed, K):
         nP_local = pts.shape[0]
+        fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+        free_cam = jnp.logical_not(kf_fixed)
         w_info = jnp.where(obs_valid, w_info0, 0.0)
+        # compact free-camera index (replicated): fixed cams -> dump slot
+        free_rank = jnp.cumsum(free_cam.astype(jnp.int32)) - 1
+        fidx = jnp.where(free_cam, jnp.minimum(free_rank, nF - 1), nF)
+        obs_fidx = fidx[obs_kf]
+        n_free = jnp.sum(free_cam.astype(jnp.int32))
 
         def robust_cost(R, t, X):
             r, _, _ = _residuals(R, t, X, obs_kf, obs_pt, obs_uv, fx, fy, cx, cy)
@@ -162,9 +177,9 @@ def bundle_adjust_sharded(
             g_c_local = jnp.zeros((nK, 6)).at[obs_kf].add(
                 jnp.einsum("ori,o,or->oi", Jc, w, r)
             )
-            Wb = jnp.zeros((nP_local, nK, 6, 3)).at[obs_pt, obs_kf].add(
+            Wb = jnp.zeros((nP_local, nF + 1, 6, 3)).at[obs_pt, obs_fidx].add(
                 jnp.einsum("ori,o,orj->oij", Jc, w, Jp)
-            )
+            )[:, :nF]
 
             eyeP = jnp.eye(3)
             Vd = V + lam * eyeP * jnp.diagonal(V, axis1=-2, axis2=-1)[:, None, :]
@@ -178,26 +193,36 @@ def bundle_adjust_sharded(
             U = jax.lax.psum(U_local, axis)
             g_c = jax.lax.psum(g_c_local, axis)
             S = jax.lax.psum(S_local, axis)
-            rhs = jax.lax.psum(rhs_local, axis) - g_c
+            rhs = jax.lax.psum(rhs_local, axis)
 
             eyeK = jnp.eye(6)
             Ud = U + lam * eyeK * jnp.diagonal(U, axis1=-2, axis2=-1)[:, None, :]
-            S = S.at[jnp.arange(nK), :, jnp.arange(nK), :].add(Ud)
-            fmask = free_cam.astype(S.dtype)
-            S = S * fmask[:, None, None, None] * fmask[None, None, :, None]
-            S = S.at[jnp.arange(nK), :, jnp.arange(nK), :].add(
-                jnp.where(kf_fixed[:, None, None], jnp.eye(6), 0.0)
+            Ud_free = jnp.zeros((nF + 1, 6, 6)).at[fidx].add(Ud)[:nF]
+            g_c_free = jnp.zeros((nF + 1, 6)).at[fidx].add(
+                jnp.where(free_cam[:, None], g_c, 0.0)
+            )[:nF]
+            S = S.at[jnp.arange(nF), :, jnp.arange(nF), :].add(Ud_free)
+            rhs = rhs - g_c_free
+            occupied = jnp.arange(nF) < n_free
+            omask = occupied.astype(S.dtype)
+            S = S * omask[:, None, None, None] * omask[None, None, :, None]
+            S = S.at[jnp.arange(nF), :, jnp.arange(nF), :].add(
+                jnp.where(~occupied[:, None, None], jnp.eye(6), 0.0)
             )
-            rhs = rhs * fmask[:, None]
-            Sm = S.reshape(nK * 6, nK * 6) + 1e-8 * jnp.eye(nK * 6)
-            dxc = jax.scipy.linalg.cho_solve(
+            rhs = rhs * omask[:, None]
+            Sm = S.reshape(nF * 6, nF * 6) + 1e-8 * jnp.eye(nF * 6)
+            dxc_free = jax.scipy.linalg.cho_solve(
                 jax.scipy.linalg.cho_factor(Sm), rhs.reshape(-1)
-            ).reshape(nK, 6)
-            dxc = jnp.where(free_cam[:, None], dxc, 0.0)
+            ).reshape(nF, 6)
+            dxc = jnp.where(
+                free_cam[:, None],
+                dxc_free[jnp.clip(free_rank, 0, nF - 1)],
+                0.0,
+            )
             # local point back-substitution
             dxp = jnp.einsum(
                 "pij,pj->pi", Vinv,
-                -(g_p + jnp.einsum("pkil,ki->pl", Wb, dxc)),
+                -(g_p + jnp.einsum("pkil,ki->pl", Wb, dxc_free)),
             )
             dxp = jnp.where(pt_valid[:, None], dxp, 0.0)
 
@@ -239,10 +264,11 @@ def bundle_adjust_sharded(
         jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(rep, rep, pspec, pspec, pspec, pspec, pspec, pspec, pspec),
+            in_specs=(rep, rep, pspec, pspec, pspec, pspec, pspec, pspec, pspec,
+                      rep, rep),
             out_specs=(rep, rep, pspec, rep),
             check_vma=False,
         )
     )
     return fn(kf_R, kf_t, pts, obs_kf, obs_pt, obs_uv, obs_inv_sigma2,
-              obs_valid, pt_valid)
+              obs_valid, pt_valid, kf_fixed, K)

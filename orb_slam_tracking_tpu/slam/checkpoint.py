@@ -19,7 +19,7 @@ from .tracker import TrackState, Tracker
 
 __all__ = ["save_tracker", "load_tracker"]
 
-_FORMAT_VERSION = 2
+_FORMAT_VERSION = 3
 
 
 def save_tracker(tracker: Tracker, path: str) -> None:
@@ -53,7 +53,8 @@ def save_tracker(tracker: Tracker, path: str) -> None:
         have_velocity=np.bool_(tracker.have_velocity),
         frames_since_kf=np.int32(tracker.frames_since_kf),
         n_kf=np.int32(tracker.n_kf),
-        obs_cursor=np.int32(tracker.obs_cursor),
+        kf_insert_count=np.int32(tracker.kf_insert_count),
+        last_kf_slot=np.int32(tracker.last_kf_slot),
         kf_ref_inliers=np.int32(tracker.kf_ref_inliers),
         traj_frame_id=np.asarray([f for f, *_ in tracker.trajectory], np.int32),
         traj_ts=np.asarray([ts for _, ts, *_ in tracker.trajectory], np.float64),
@@ -70,7 +71,9 @@ def load_tracker(tracker: Tracker, path: str) -> Tracker:
 
     z = np.load(path, allow_pickle=False)
     version = int(z["version"])
-    if version not in (1, _FORMAT_VERSION):
+    if version != _FORMAT_VERSION:
+        # v1/v2 predate the lifecycle map layout (keyframe snapshots,
+        # recycled slots) and cannot be mapped onto it
         raise ValueError(f"unsupported checkpoint version {version}")
     map_fields = {
         k[len("map_"):]: jnp.asarray(z[k]) for k in z.files if k.startswith("map_")
@@ -85,7 +88,8 @@ def load_tracker(tracker: Tracker, path: str) -> Tracker:
     tracker.have_velocity = bool(z["have_velocity"])
     tracker.frames_since_kf = int(z["frames_since_kf"])
     tracker.n_kf = int(z["n_kf"])
-    tracker.obs_cursor = int(z["obs_cursor"])
+    tracker.kf_insert_count = int(z["kf_insert_count"])
+    tracker.last_kf_slot = int(z["last_kf_slot"])
     tracker.kf_ref_inliers = int(z["kf_ref_inliers"])
     tracker.trajectory = [
         (int(f), float(ts), R, t)

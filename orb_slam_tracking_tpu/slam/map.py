@@ -1,17 +1,27 @@
-"""Fixed-capacity SLAM map pytrees.
+"""Fixed-capacity SLAM map pytrees with full lifecycle state.
 
 The reference forward-declares ``Map`` and ``MapPoint`` but never defines
 them (``tracking.hpp:33-34``, ``SlamTypes/Frame.hpp:18`` — SURVEY.md §0);
 this module supplies the TPU-native realization of that declared intent:
 no pointer graphs, just preallocated arrays with validity masks —
 
-- map points: positions, descriptors, observation counts;
-- keyframes: poses + ids + their keypoint snapshots (needed for
-  triangulating new points against the previous keyframe);
+- map points: positions, descriptors, observation counts, tracking
+  statistics (visible/found, for ORB-SLAM's found-ratio culling) and the
+  keyframe-age stamp that drives MapPointCulling;
+- keyframes: poses + ids + full keypoint snapshots (undistorted pixels,
+  descriptors, octaves, angles, and the keypoint→map-point association
+  ``Frame.hpp:91-93`` declares as ``mvpMapPoints``) — these snapshots are
+  what covisibility-graph triangulation and BoW-restricted matching read;
 - a COO observation list (keyframe idx, point idx, pixel, information)
   feeding bundle adjustment.
 
-All capacities come from ``TrackerConfig`` so every consumer compiles once.
+Slots (points, keyframes, observations) are RECYCLED: culling a point or
+keyframe clears its validity bit and the freed rows are found again by
+``free_slots`` — a long run reuses capacity instead of ratcheting to the
+wall (the round-1 "capacity full" stall).
+
+All capacities come from ``TrackerConfig`` plus the keypoint capacity of
+the extractor, so every consumer compiles once.
 """
 
 from __future__ import annotations
@@ -23,7 +33,7 @@ import numpy as np
 
 from ..config import TrackerConfig
 
-__all__ = ["SlamMap", "empty_map", "OBS_PER_KF"]
+__all__ = ["SlamMap", "empty_map", "free_slots", "OBS_PER_KF"]
 
 # observation-list capacity per keyframe slot
 OBS_PER_KF = 512
@@ -35,14 +45,26 @@ class SlamMap(NamedTuple):
     desc: jnp.ndarray         # [P, 8] uint32 representative descriptor
     pt_valid: jnp.ndarray     # [P] bool
     n_obs: jnp.ndarray        # [P] int32 times observed by a keyframe
+    pt_birth_kf: jnp.ndarray  # [P] int32 keyframe count at creation (age)
+    pt_visible: jnp.ndarray   # [P] int32 frames where predicted visible
+    pt_found: jnp.ndarray     # [P] int32 frames where actually matched
     # keyframes
     kf_R: jnp.ndarray         # [Kc, 3, 3] world-to-camera
     kf_t: jnp.ndarray         # [Kc, 3]
     kf_valid: jnp.ndarray     # [Kc] bool
     kf_frame_id: jnp.ndarray  # [Kc] int32
+    # per-keyframe keypoint snapshots (mvKeysUn/mDescriptors/mvpMapPoints)
+    kf_kp_xy: jnp.ndarray     # [Kc, N, 2] float32 undistorted pixels
+    kf_kp_desc: jnp.ndarray   # [Kc, N, 8] uint32
+    kf_kp_octave: jnp.ndarray  # [Kc, N] int32
+    kf_kp_angle: jnp.ndarray   # [Kc, N] float32 degrees
+    kf_kp_valid: jnp.ndarray   # [Kc, N] bool
+    kf_kp_pt: jnp.ndarray      # [Kc, N] int32 map-point slot or -1
     # observations (COO)
     obs_kf: jnp.ndarray       # [O] int32 keyframe slot
     obs_pt: jnp.ndarray       # [O] int32 map-point slot
+    obs_kp: jnp.ndarray       # [O] int32 keypoint index inside the keyframe
+    #                           snapshot (ties BA pruning back to kf_kp_pt)
     obs_uv: jnp.ndarray       # [O, 2] float32 undistorted pixels
     obs_inv_sigma2: jnp.ndarray  # [O] float32 information (per octave)
     obs_valid: jnp.ndarray    # [O] bool
@@ -55,6 +77,10 @@ class SlamMap(NamedTuple):
     def kf_capacity(self) -> int:
         return self.kf_R.shape[0]
 
+    @property
+    def kp_capacity(self) -> int:
+        return self.kf_kp_xy.shape[1]
+
     def n_points(self):
         return jnp.sum(self.pt_valid.astype(jnp.int32))
 
@@ -62,21 +88,38 @@ class SlamMap(NamedTuple):
         return jnp.sum(self.kf_valid.astype(jnp.int32))
 
 
-def empty_map(cfg: TrackerConfig) -> SlamMap:
+def free_slots(valid, n: int) -> np.ndarray:
+    """First ``n`` free (invalid) slot indices, host-side. May return
+    fewer than ``n`` when capacity is genuinely exhausted."""
+    return np.where(~np.asarray(valid))[0][:n]
+
+
+def empty_map(cfg: TrackerConfig, kp_capacity: int = 2048) -> SlamMap:
     P = cfg.max_map_points
     Kc = cfg.max_keyframes
+    N = kp_capacity
     O = Kc * OBS_PER_KF
     return SlamMap(
         pts=jnp.zeros((P, 3), jnp.float32),
         desc=jnp.zeros((P, 8), jnp.uint32),
         pt_valid=jnp.zeros((P,), bool),
         n_obs=jnp.zeros((P,), jnp.int32),
+        pt_birth_kf=jnp.zeros((P,), jnp.int32),
+        pt_visible=jnp.zeros((P,), jnp.int32),
+        pt_found=jnp.zeros((P,), jnp.int32),
         kf_R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (Kc, 3, 3)).copy(),
         kf_t=jnp.zeros((Kc, 3), jnp.float32),
         kf_valid=jnp.zeros((Kc,), bool),
         kf_frame_id=jnp.full((Kc,), -1, jnp.int32),
+        kf_kp_xy=jnp.zeros((Kc, N, 2), jnp.float32),
+        kf_kp_desc=jnp.zeros((Kc, N, 8), jnp.uint32),
+        kf_kp_octave=jnp.zeros((Kc, N), jnp.int32),
+        kf_kp_angle=jnp.zeros((Kc, N), jnp.float32),
+        kf_kp_valid=jnp.zeros((Kc, N), bool),
+        kf_kp_pt=jnp.full((Kc, N), -1, jnp.int32),
         obs_kf=jnp.zeros((O,), jnp.int32),
         obs_pt=jnp.zeros((O,), jnp.int32),
+        obs_kp=jnp.zeros((O,), jnp.int32),
         obs_uv=jnp.zeros((O, 2), jnp.float32),
         obs_inv_sigma2=jnp.ones((O,), jnp.float32),
         obs_valid=jnp.zeros((O,), bool),

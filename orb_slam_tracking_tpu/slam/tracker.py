@@ -39,11 +39,15 @@ from ..config import SystemConfig
 from ..geometry import camera, se3
 from ..geometry.twoview import initialize_two_view
 from ..ops import orb_extract
-from ..ops.matcher import compact_matches, search_for_initialization
+from ..ops.matcher import (
+    compact_matches,
+    search_for_initialization,
+    search_for_triangulation,
+)
 from ..ops.proj_matcher import search_by_projection
 from ..optim.pose_opt import optimize_pose
 from ..types import Keypoints
-from .map import OBS_PER_KF, SlamMap, empty_map
+from .map import OBS_PER_KF, SlamMap, empty_map, free_slots
 
 __all__ = ["Tracker", "TrackState"]
 
@@ -97,19 +101,22 @@ class Tracker:
     def __init__(self, cfg: SystemConfig):
         self.cfg = cfg
         self.K = camera.intrinsics_matrix(cfg.camera)
-        self.map = empty_map(cfg.tracker)
+        # keypoint snapshots must hold the larger init-time extraction
+        kp_cap = max(cfg.orb.max_keypoints, cfg.init_orb.max_keypoints)
+        self.map = empty_map(cfg.tracker, kp_cap)
         self.state = TrackState.NO_IMAGES_YET
         self.frame_id = -1
         self.ref: Optional[_FrameSnap] = None       # init reference frame
-        self.prev_kf: Optional[_FrameSnap] = None   # last keyframe snapshot
+        self.prev_kf: Optional[_FrameSnap] = None   # legacy compat (unused)
         self.R = np.eye(3, dtype=np.float32)        # world-to-camera
         self.t = np.zeros(3, dtype=np.float32)
         self.vel_R = np.eye(3, dtype=np.float32)    # T_cur o T_prev^-1
         self.vel_t = np.zeros(3, dtype=np.float32)
         self.have_velocity = False
         self.frames_since_kf = 0
-        self.n_kf = 0
-        self.obs_cursor = 0
+        self.n_kf = 0                 # count of live keyframes
+        self.kf_insert_count = 0      # monotone insert counter (point ages)
+        self.last_kf_slot = -1        # newest keyframe's slot (recycled ids)
         self.kf_ref_inliers = 0  # tracked-point count of the last keyframe
         self.trajectory: list = []                  # (frame_id, ts, R, t)
         self._key = jax.random.PRNGKey(0)
@@ -123,27 +130,30 @@ class Tracker:
         SURVEY.md §5.5)."""
         self.frame_id += 1
         cfg = self.cfg
-        init_phase = self.state in (
-            TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED,
-            TrackState.INITIALIZING,
-        )
-        ocfg = cfg.init_orb if init_phase else cfg.orb
-        kps = orb_extract(jnp.asarray(image, jnp.float32), ocfg)
-        xy_un = camera.undistort_pixels(cfg.camera, kps.xy)
-        n_kps = int(kps.count())
+        img = jnp.asarray(image, jnp.float32)
         metrics = {
             "frame_id": self.frame_id, "state": TrackState.NAMES[self.state],
-            "n_kps": n_kps,
         }
 
-        if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
-            self._deal_first_frame(kps, xy_un, n_kps, timestamp)
-        elif self.state == TrackState.INITIALIZING:
-            metrics.update(self._try_initialize(kps, xy_un, n_kps, timestamp))
-        elif self.state == TrackState.WORKING:
-            metrics.update(self._track_working(kps, xy_un, timestamp))
-        elif self.state == TrackState.LOST:
-            metrics.update(self._track_lost(kps, xy_un, timestamp))
+        if self.state == TrackState.WORKING:
+            # extraction happens INSIDE the fused device step
+            metrics.update(self._track_working(img, timestamp))
+        else:
+            init_phase = self.state in (
+                TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED,
+                TrackState.INITIALIZING,
+            )
+            ocfg = cfg.init_orb if init_phase else cfg.orb
+            kps = orb_extract(img, ocfg)
+            xy_un = camera.undistort_pixels(cfg.camera, kps.xy)
+            n_kps = int(kps.count())
+            metrics["n_kps"] = n_kps
+            if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
+                self._deal_first_frame(kps, xy_un, n_kps, timestamp)
+            elif self.state == TrackState.INITIALIZING:
+                metrics.update(self._try_initialize(kps, xy_un, n_kps, timestamp))
+            elif self.state == TrackState.LOST:
+                metrics.update(self._track_lost(kps, xy_un, timestamp))
 
         metrics["state_after"] = TrackState.NAMES[self.state]
         if self.state == TrackState.WORKING:
@@ -232,6 +242,9 @@ class Tracker:
             desc=m.desc.at[slots].set(kps.desc[p[:, 1]]),
             pt_valid=m.pt_valid.at[slots].set(True),
             n_obs=m.n_obs.at[slots].set(2),
+            pt_birth_kf=m.pt_birth_kf.at[slots].set(0),
+            pt_visible=m.pt_visible.at[slots].set(1),
+            pt_found=m.pt_found.at[slots].set(1),
             kf_R=m.kf_R.at[0].set(jnp.eye(3)).at[1].set(jnp.asarray(R21)),
             kf_t=m.kf_t.at[0].set(jnp.zeros(3)).at[1].set(jnp.asarray(t21)),
             kf_valid=m.kf_valid.at[0].set(True).at[1].set(True),
@@ -245,23 +258,27 @@ class Tracker:
         m = m._replace(
             obs_kf=m.obs_kf.at[o0].set(0).at[o1].set(1),
             obs_pt=m.obs_pt.at[o0].set(jnp.asarray(slots)).at[o1].set(jnp.asarray(slots)),
+            obs_kp=m.obs_kp.at[o0].set(jnp.asarray(p[:, 0]))
+                           .at[o1].set(jnp.asarray(p[:, 1])),
             obs_uv=m.obs_uv.at[o0].set(jnp.asarray(uv0)).at[o1].set(jnp.asarray(uv1)),
             obs_inv_sigma2=m.obs_inv_sigma2.at[o0].set(1.0).at[o1].set(jnp.asarray(inv_s2)),
             obs_valid=m.obs_valid.at[o0].set(True).at[o1].set(True),
         )
+        # keyframe keypoint snapshots (Frame::mvKeysUn/mvpMapPoints)
+        kp_pt0 = np.full(self.ref.kps.valid.shape[0], -1, np.int32)
+        kp_pt0[p[:, 0]] = slots
+        kp_pt1 = np.full(kps.valid.shape[0], -1, np.int32)
+        kp_pt1[p[:, 1]] = slots
+        m = self._write_kf_snapshot(m, 0, self.ref.kps, self.ref.xy_un, kp_pt0)
+        m = self._write_kf_snapshot(m, 1, kps, xy_un, kp_pt1)
         self.map = m
-        self.obs_cursor = 2 * G
         self.n_kf = 2
+        self.kf_insert_count = 2
+        self.last_kf_slot = 1
         self.R, self.t = R21, t21.astype(np.float32)
         self.have_velocity = False
         self.frames_since_kf = 0
         self.kf_ref_inliers = G
-        matched = np.zeros(kps.valid.shape[0], bool)
-        matched[p[:, 1]] = True
-        self.prev_kf = _FrameSnap(
-            kps=kps, xy_un=xy_un, frame_id=self.frame_id,
-            matched_to_map=matched, timestamp=timestamp,
-        )
         # retroactively append the reference keyframe's pose to the
         # trajectory, stamped with ITS capture time (not the current
         # frame's — that skews TUM-format ATE/RPE time alignment by the
@@ -282,7 +299,27 @@ class Tracker:
         self.state = TrackState.WORKING
 
     # ------------------------------------------------------------------
-    def _track_working(self, kps, xy_un, timestamp) -> dict:
+    def _get_fused(self, wide: bool):
+        """Lazily build the two fused-step variants (normal / 2x stage-1
+        window for the low-match retry)."""
+        from .fused_step import make_tracking_step
+
+        attr = "_fused_wide" if wide else "_fused"
+        fn = getattr(self, attr, None)
+        if fn is None:
+            cfg = self.cfg
+            fn = make_tracking_step(
+                cfg.camera, cfg.orb, cfg.matcher, cfg.tracker,
+                radius_scale=2.0 if wide else 1.0,
+            )
+            setattr(self, attr, fn)
+        return fn
+
+    def _track_working(self, img, timestamp) -> dict:
+        """One fused device program per frame: extract -> project-match ->
+        two-stage pose LM (see slam/fused_step.py). Host keeps only the
+        constant-velocity prediction, the low-match retry, and the
+        keyframe decision."""
         cfg = self.cfg
         # constant-velocity prediction: T_pred = vel o T_cur
         if cfg.tracker.use_motion_model and self.have_velocity:
@@ -292,66 +329,39 @@ class Tracker:
             R_pred, t_pred = self.R, self.t
 
         out = {}
-        radius = cfg.tracker.projection_radius
-        for attempt, rad in enumerate((radius, radius * 2.0)):
-            pm = search_by_projection(
-                self.map.pts, self.map.desc, self.map.pt_valid,
-                jnp.asarray(R_pred), jnp.asarray(t_pred), self.K,
-                kps.desc, xy_un, kps.valid, rad, cfg.matcher,
-                cfg.camera.width, cfg.camera.height,
-                kp_octave=kps.octave, scale_factor=cfg.orb.scale_factor,
-            )
-            if int(pm.n_matches) >= 20 or attempt == 1:
-                break
-        n_matched = int(pm.n_matches)
-        out["n_proj_matches"] = n_matched
-        out["n_visible"] = int(pm.n_visible)
-        if n_matched < cfg.tracker.min_tracked_inliers:
+        m = self.map
+        args = (
+            m.pts, m.desc, m.pt_valid,
+            jnp.asarray(R_pred), jnp.asarray(t_pred),
+            jnp.asarray(self.R), jnp.asarray(self.t), self.K,
+        )
+        r = self._get_fused(False)(img, *args)
+        if int(r.n_matches1) < 20:
+            r = self._get_fused(True)(img, *args)
+        kps, xy_un = r.kps, r.xy_un
+        out["n_kps"] = int(r.n_kps)
+        out["n_proj_matches"] = int(r.n_matches1)
+        out["n_proj_matches_2"] = int(r.n_matches2)
+        if int(r.n_matches1) < cfg.tracker.min_tracked_inliers:
             self.state = TrackState.LOST
             out["lost"] = "too few projection matches"
             return out
 
-        # Stage 1: optimize against the motion-model associations, then
-        # Stage 2 (ORB-SLAM's TrackLocalMap): re-match from the optimized
-        # pose and optimize again. The velocity prediction centres the
-        # SEARCH window only; optimization starts from the last optimized
-        # pose — initializing at the extrapolation walks along the flat
-        # valley a noisy map leaves in the cost (validated on synthetic
-        # ground truth: extrapolated inits drift, last-pose inits do not).
-        R_cur, t_cur = jnp.asarray(self.R), jnp.asarray(self.t)
-        res = None
-        for stage in range(2):
-            kp_idx = pm.kp_for_point  # [P]
-            matched = kp_idx >= 0
-            uv_obs = xy_un[jnp.clip(kp_idx, 0)]
-            oct_m = kps.octave[jnp.clip(kp_idx, 0)]
-            inv_s2 = (1.0 / cfg.orb.scale_factor ** (2.0 * oct_m.astype(jnp.float32)))
-            res = optimize_pose(
-                R_cur, t_cur,
-                self.map.pts, uv_obs, inv_s2, matched, self.K,
-                rounds=cfg.tracker.pose_opt_rounds,
-                iters_per_round=cfg.tracker.pose_opt_iters,
-            )
-            R_cur, t_cur = res.R, res.t
-            if stage == 0:
-                pm = search_by_projection(
-                    self.map.pts, self.map.desc, self.map.pt_valid,
-                    R_cur, t_cur, self.K,
-                    kps.desc, xy_un, kps.valid,
-                    cfg.tracker.local_map_radius, cfg.matcher,
-                    cfg.camera.width, cfg.camera.height,
-                    kp_octave=kps.octave, scale_factor=cfg.orb.scale_factor,
-                )
-                out["n_proj_matches_2"] = int(pm.n_matches)
-        n_inl = int(res.n_inliers)
+        n_inl = int(r.n_inliers)
         out["n_inliers"] = n_inl
+        # MapPoint mnVisible/mnFound tallies (found-ratio culling input)
+        found = (r.kp_for_point >= 0) & m.pt_valid
+        self.map = m._replace(
+            pt_visible=m.pt_visible + (r.visible & m.pt_valid).astype(jnp.int32),
+            pt_found=m.pt_found + found.astype(jnp.int32),
+        )
         if n_inl < cfg.tracker.min_tracked_inliers:
             self.state = TrackState.LOST
             out["lost"] = "too few pose inliers"
             return out
 
-        R_new = np.asarray(res.R)
-        t_new = np.asarray(res.t)
+        R_new = np.asarray(r.R)
+        t_new = np.asarray(r.t)
         # velocity = T_cur o T_prev^-1
         self.vel_R = R_new @ self.R.T
         self.vel_t = t_new - self.vel_R @ self.t
@@ -360,7 +370,7 @@ class Tracker:
         self.frames_since_kf += 1
 
         if self._need_keyframe(n_inl):
-            kf_out = self._insert_keyframe(kps, xy_un, pm, res, timestamp)
+            kf_out = self._insert_keyframe(kps, xy_un, r, timestamp)
             out.update(kf_out)
         return out
 
@@ -377,19 +387,43 @@ class Tracker:
             or n_inliers < tcfg.min_tracked_inliers * 5
         )
 
-    def _insert_keyframe(self, kps, xy_un, pm, pose_res, timestamp=0.0) -> dict:
-        """Insert the current frame as a keyframe: record observations of
-        tracked map points, then triangulate new points against the
-        previous keyframe (the tracking-side slice of ORB-SLAM's local
-        mapping)."""
+    def _write_kf_snapshot(self, m: SlamMap, slot: int, kps, xy_un, kp_pt):
+        """Store the frame's keypoints on the keyframe slot (the data
+        ``Frame.hpp:79-93`` keeps per frame: mvKeysUn, mDescriptors,
+        mvpMapPoints). ``kp_pt``: [n] int32 map-point slot per keypoint."""
+        N = m.kp_capacity
+        n = kps.valid.shape[0]
+        if n > N:
+            raise ValueError(f"keypoint capacity {n} exceeds snapshot {N}")
+        pad = N - n
+        return m._replace(
+            kf_kp_xy=m.kf_kp_xy.at[slot].set(
+                jnp.pad(xy_un, ((0, pad), (0, 0)))),
+            kf_kp_desc=m.kf_kp_desc.at[slot].set(
+                jnp.pad(kps.desc, ((0, pad), (0, 0)))),
+            kf_kp_octave=m.kf_kp_octave.at[slot].set(
+                jnp.pad(kps.octave, (0, pad))),
+            kf_kp_angle=m.kf_kp_angle.at[slot].set(
+                jnp.pad(kps.angle_deg, (0, pad))),
+            kf_kp_valid=m.kf_kp_valid.at[slot].set(
+                jnp.pad(kps.valid, (0, pad))),
+            kf_kp_pt=m.kf_kp_pt.at[slot].set(
+                jnp.pad(jnp.asarray(kp_pt, jnp.int32), (0, pad),
+                        constant_values=-1)),
+        )
+
+    def _insert_keyframe(self, kps, xy_un, assoc, timestamp=0.0) -> dict:
+        """Insert the current frame as a keyframe, then run the
+        tracking-side slice of ORB-SLAM's local mapping: covisibility
+        triangulation + fusion, map-point culling, keyframe culling,
+        local BA. ``assoc`` carries the final point->keypoint association
+        and the pose-opt inlier mask (a FusedStepResult)."""
         cfg = self.cfg
         m = self.map
-        if self.n_kf >= m.kf_capacity:
-            return {"kf": "capacity full"}
-        slot = self.n_kf
+        slot = self._alloc_kf_slot()
 
-        kp_idx = np.asarray(pm.kp_for_point)
-        inl = np.asarray(pose_res.inlier)
+        kp_idx = np.asarray(assoc.kp_for_point)
+        inl = np.asarray(assoc.inlier)
         tracked_pts = np.where(inl & (kp_idx >= 0))[0]
         uv_np = np.asarray(xy_un)
         oct_np = np.asarray(kps.octave)
@@ -400,30 +434,39 @@ class Tracker:
             kf_valid=m.kf_valid.at[slot].set(True),
             kf_frame_id=m.kf_frame_id.at[slot].set(self.frame_id),
         )
-        # observations of tracked points
-        n_add = len(tracked_pts)
-        cap = m.obs_kf.shape[0]
-        n_add = min(n_add, cap - self.obs_cursor)
+        kp_pt = np.full(kps.valid.shape[0], -1, np.int32)
+        kp_pt[kp_idx[tracked_pts]] = tracked_pts
+        m = self._write_kf_snapshot(m, slot, kps, xy_un, kp_pt)
+
+        # observations of tracked points (recycled slots)
+        rows = free_slots(m.obs_valid, len(tracked_pts))
+        n_add = len(rows)
         if n_add > 0:
             sel = tracked_pts[:n_add]
-            rows = np.arange(self.obs_cursor, self.obs_cursor + n_add)
             inv_s2 = (1.0 / cfg.orb.scale_factor ** (2 * oct_np[kp_idx[sel]])).astype(np.float32)
             m = m._replace(
                 obs_kf=m.obs_kf.at[rows].set(slot),
                 obs_pt=m.obs_pt.at[rows].set(jnp.asarray(sel)),
+                obs_kp=m.obs_kp.at[rows].set(jnp.asarray(kp_idx[sel])),
                 obs_uv=m.obs_uv.at[rows].set(jnp.asarray(uv_np[kp_idx[sel]])),
                 obs_inv_sigma2=m.obs_inv_sigma2.at[rows].set(jnp.asarray(inv_s2)),
                 obs_valid=m.obs_valid.at[rows].set(True),
                 n_obs=m.n_obs.at[jnp.asarray(sel)].add(1),
             )
-            self.obs_cursor += n_add
 
         self.map = m
+        self.kf_insert_count += 1
+        self.last_kf_slot = slot
         out = {"kf": f"inserted slot {slot}", "kf_obs": int(n_add)}
 
-        # --- new map points vs previous keyframe ---
-        new_n = self._create_new_points(kps, xy_un, pm, slot)
+        # --- covisibility-graph triangulation + fuse ---
+        new_n, fused_n = self._create_new_points_covis(slot)
         out["kf_new_points"] = new_n
+        out["kf_fused"] = fused_n
+
+        # --- lifecycle: point + keyframe culling ---
+        out["culled_points"] = self._cull_points()
+        out["culled_kfs"] = self._cull_keyframes()
 
         # --- local bundle adjustment over the keyframe window ---
         # (without BA the init map's correlated depth noise makes the
@@ -432,107 +475,343 @@ class Tracker:
         ba_out = self._local_ba(slot)
         out.update(ba_out)
 
-        matched = np.zeros(kps.valid.shape[0], bool)
-        matched[kp_idx[tracked_pts]] = True
-        self.prev_kf = _FrameSnap(
-            kps=kps, xy_un=xy_un, frame_id=self.frame_id,
-            matched_to_map=matched, timestamp=timestamp,
-        )
         self._bow_add(slot, kps)
-        self.n_kf += 1
+        self.n_kf = int(np.asarray(self.map.kf_valid).sum())
         self.frames_since_kf = 0
-        self.kf_ref_inliers = int(n_add) + out.get("kf_new_points", 0)
+        self.kf_ref_inliers = int(n_add) + new_n
         return out
 
-    def _create_new_points(self, kps, xy_un, pm, slot: int) -> int:
-        """Triangulate unmatched keypoints against the previous keyframe."""
-        cfg = self.cfg
-        prev = self.prev_kf
-        if prev is None:
-            return 0
+    # -------------------- local-mapping slice --------------------
+    def _alloc_kf_slot(self) -> int:
+        """First free keyframe slot; when the map is at capacity, evict the
+        most redundant keyframe (same score as KeyFrameCulling, without
+        the 90% bar) so tracking never stalls at "capacity full"."""
         m = self.map
-        # exclude keypoints already associated to map points on either side
-        cur_un = np.asarray(pm.point_for_kp) < 0
-        prev_un = ~prev.matched_to_map if prev.matched_to_map is not None else None
-        v1 = prev.kps.valid & jnp.asarray(prev_un if prev_un is not None else True)
-        v2 = kps.valid & jnp.asarray(cur_un)
-        res = search_for_initialization(
-            prev.kps.desc, prev.xy_un, prev.kps.octave, prev.kps.angle_deg, v1,
-            kps.desc, xy_un, kps.octave, kps.angle_deg, v2,
-            cfg.matcher,
-        )
-        nm = int(res.n_matches)
-        if nm == 0:
-            return 0
-        pairs, pv = compact_matches(res.matches12, cfg.matcher.max_matches)
-        pnp = np.asarray(pairs)[np.asarray(pv)]
-        # previous keyframe pose
-        kf_slot_prev = self.n_kf - 1
-        R1 = np.asarray(self.map.kf_R[kf_slot_prev])
-        t1 = np.asarray(self.map.kf_t[kf_slot_prev])
-        x1 = np.asarray(prev.xy_un)[pnp[:, 0]]
-        x2 = np.asarray(xy_un)[pnp[:, 1]]
-        pts = np.asarray(
-            _triangulate_world(
-                jnp.asarray(R1), jnp.asarray(t1),
-                jnp.asarray(self.R), jnp.asarray(self.t), self.K,
-                jnp.asarray(x1), jnp.asarray(x2),
+        kf_valid = np.asarray(m.kf_valid)
+        free = np.where(~kf_valid)[0]
+        if len(free):
+            return int(free[0])
+        scores = self._kf_redundancy()
+        fids = np.asarray(m.kf_frame_id)
+        protect = self._protected_kfs()
+        scores = np.where(np.isin(np.arange(m.kf_capacity), list(protect)),
+                          -np.inf, scores)
+        # most redundant; ties broken toward the oldest
+        best = np.lexsort((fids, -scores))[0]
+        self._remove_keyframe(int(best))
+        return int(best)
+
+    def _protected_kfs(self) -> set:
+        """Keyframes never culled/evicted: the oldest (the gauge anchor)
+        and the two most recent (active triangulation partners)."""
+        m = self.map
+        kf_valid = np.asarray(m.kf_valid)
+        fids = np.asarray(m.kf_frame_id)
+        vs = np.where(kf_valid)[0]
+        if len(vs) == 0:
+            return set()
+        by_recent = vs[np.argsort(-fids[vs])]
+        prot = set(by_recent[:2].tolist())
+        prot.add(int(vs[np.argmin(fids[vs])]))
+        return prot
+
+    def _kf_redundancy(self) -> np.ndarray:
+        """Per-keyframe fraction of its observed points that are seen by
+        >= 4 keyframes (ORB-SLAM KeyFrameCulling's redundancy measure,
+        without the per-scale refinement)."""
+        m = self.map
+        Kc = m.kf_capacity
+        obs_valid = np.asarray(m.obs_valid)
+        obs_kf = np.asarray(m.obs_kf)
+        obs_pt = np.asarray(m.obs_pt)
+        n_obs = np.asarray(m.n_obs)
+        red = np.asarray(obs_valid & (n_obs[obs_pt] >= 4), np.float64)
+        tot = np.bincount(obs_kf, weights=obs_valid, minlength=Kc)
+        hit = np.bincount(obs_kf, weights=red, minlength=Kc)
+        return hit / np.maximum(tot, 1.0)
+
+    def _remove_keyframe(self, slot: int) -> None:
+        """Invalidate a keyframe: drop its observations, decrement its
+        points' observation counts, clear its snapshot associations, and
+        unindex it from the BoW database."""
+        m = self.map
+        rows = np.where(np.asarray(m.obs_valid) & (np.asarray(m.obs_kf) == slot))[0]
+        if len(rows):
+            pts = np.asarray(m.obs_pt)[rows]
+            m = m._replace(
+                obs_valid=m.obs_valid.at[rows].set(False),
+                n_obs=m.n_obs.at[jnp.asarray(pts)].add(-1),
             )
-        )
-        # vet: cheirality, reprojection, parallax
-        err1, z1 = _reproj_chi2(R1, t1, self.K, pts, x1)
-        err2, z2 = _reproj_chi2(self.R, self.t, self.K, pts, x2)
-        o1 = -R1.T @ t1
-        o2 = -self.R.T @ self.t
-        r1 = pts - o1
-        r2 = pts - o2
-        cosp = np.sum(r1 * r2, -1) / np.maximum(
-            np.linalg.norm(r1, axis=-1) * np.linalg.norm(r2, axis=-1), 1e-12
-        )
-        # parallax gate at cos < 0.9998 (~1.15 deg) like ORB-SLAM's
-        # CreateNewMapPoints ray test — short-baseline triangulations have
-        # depth noise that later reads as pose drift
-        ok = (
-            np.isfinite(pts).all(-1)
-            & (z1 > 0.05) & (z2 > 0.05)
-            & (err1 < 5.991) & (err2 < 5.991)
-            & (cosp < 0.9998)
-        )
-        pts = pts[ok]
-        sel = pnp[ok]
-        if len(pts) == 0:
-            return 0
-        free = np.where(~np.asarray(m.pt_valid))[0]
-        n_new = min(len(pts), len(free))
-        # obs capacity: 2 per new point
-        n_new = min(n_new, (m.obs_kf.shape[0] - self.obs_cursor) // 2)
-        if n_new <= 0:
-            return 0
-        pts = pts[:n_new]
-        sel = sel[:n_new]
-        slots = free[:n_new]
-        oct2 = np.asarray(kps.octave)[sel[:, 1]]
         m = m._replace(
-            pts=m.pts.at[slots].set(jnp.asarray(pts.astype(np.float32))),
-            desc=m.desc.at[slots].set(kps.desc[sel[:, 1]]),
-            pt_valid=m.pt_valid.at[slots].set(True),
-            n_obs=m.n_obs.at[slots].set(2),
+            kf_valid=m.kf_valid.at[slot].set(False),
+            kf_kp_pt=m.kf_kp_pt.at[slot].set(-1),
+            kf_kp_valid=m.kf_kp_valid.at[slot].set(False),
         )
-        rows1 = np.arange(self.obs_cursor, self.obs_cursor + n_new)
-        rows2 = rows1 + n_new
-        uv1 = np.asarray(prev.xy_un)[sel[:, 0]]
-        uv2 = np.asarray(xy_un)[sel[:, 1]]
-        inv_s2_2 = (1.0 / cfg.orb.scale_factor ** (2 * oct2)).astype(np.float32)
-        m = m._replace(
-            obs_kf=m.obs_kf.at[rows1].set(kf_slot_prev).at[rows2].set(slot),
-            obs_pt=m.obs_pt.at[rows1].set(jnp.asarray(slots)).at[rows2].set(jnp.asarray(slots)),
-            obs_uv=m.obs_uv.at[rows1].set(jnp.asarray(uv1)).at[rows2].set(jnp.asarray(uv2)),
-            obs_inv_sigma2=m.obs_inv_sigma2.at[rows1].set(1.0).at[rows2].set(jnp.asarray(inv_s2_2)),
-            obs_valid=m.obs_valid.at[rows1].set(True).at[rows2].set(True),
-        )
-        self.obs_cursor += 2 * n_new
         self.map = m
-        return int(n_new)
+        if self.kf_db is not None:
+            from ..bow.database import remove_keyframe
+
+            self.kf_db = remove_keyframe(self.kf_db, slot)
+
+    def _cull_points(self) -> int:
+        """ORB-SLAM MapPointCulling: drop points that failed to gather
+        >= cull_min_obs keyframe observations within cull_age_kfs
+        keyframes of creation, or whose tracking found/visible ratio
+        collapsed. Freed slots are recycled by later creations."""
+        cfg = self.cfg.tracker
+        m = self.map
+        valid = np.asarray(m.pt_valid)
+        n_obs = np.asarray(m.n_obs)
+        age = self.kf_insert_count - np.asarray(m.pt_birth_kf)
+        vis = np.asarray(m.pt_visible)
+        fnd = np.asarray(m.pt_found)
+        bad = valid & (
+            ((age >= cfg.cull_age_kfs) & (n_obs < cfg.cull_min_obs))
+            | ((vis >= cfg.cull_min_visible)
+               & (fnd < cfg.cull_found_ratio * vis))
+        )
+        n_bad = int(bad.sum())
+        if n_bad == 0:
+            return 0
+        bad_mask = jnp.asarray(bad)
+        obs_bad = bad_mask[m.obs_pt]
+        snap_pt = m.kf_kp_pt
+        snap_bad = bad_mask[jnp.clip(snap_pt, 0)] & (snap_pt >= 0)
+        self.map = m._replace(
+            pt_valid=m.pt_valid & ~bad_mask,
+            obs_valid=m.obs_valid & ~obs_bad,
+            kf_kp_pt=jnp.where(snap_bad, -1, snap_pt),
+        )
+        return n_bad
+
+    def _cull_keyframes(self) -> int:
+        """ORB-SLAM KeyFrameCulling: remove a keyframe when >= 90% of its
+        points are redundantly observed (>= 4 keyframes). At most one per
+        insert to bound churn."""
+        cfg = self.cfg.tracker
+        m = self.map
+        kf_valid = np.asarray(m.kf_valid)
+        counts = np.bincount(
+            np.asarray(m.obs_kf), weights=np.asarray(m.obs_valid),
+            minlength=m.kf_capacity,
+        )
+        red = self._kf_redundancy()
+        protect = self._protected_kfs()
+        cand = [
+            k for k in np.where(kf_valid)[0]
+            if k not in protect and counts[k] >= 10
+            and red[k] >= cfg.kf_redundancy_frac
+        ]
+        if not cand:
+            return 0
+        victim = max(cand, key=lambda k: red[k])
+        self._remove_keyframe(int(victim))
+        return 1
+
+    def _create_new_points_covis(self, slot: int):
+        """ORB-SLAM CreateNewMapPoints: triangulate the current keyframe's
+        unassociated keypoints against its best covisible keyframes
+        (multi-scale, epipolar-gated), fusing candidates that duplicate an
+        existing point's projection instead of creating them."""
+        cfg = self.cfg
+        tcfg = cfg.tracker
+        m = self.map
+        kf_kp_pt = np.asarray(m.kf_kp_pt)
+        kf_valid = np.asarray(m.kf_valid)
+
+        cur_assoc = kf_kp_pt[slot]
+        pt_mask = np.zeros(m.point_capacity, bool)
+        pt_mask[cur_assoc[cur_assoc >= 0]] = True
+        shared = np.zeros(m.kf_capacity, np.int64)
+        for k in np.where(kf_valid)[0]:
+            if k == slot:
+                continue
+            assoc = kf_kp_pt[k]
+            shared[k] = pt_mask[assoc[assoc >= 0]].sum()
+        order = np.argsort(-shared)
+        neighbors = [
+            int(k) for k in order
+            if kf_valid[k] and k != slot and shared[k] >= tcfg.covis_min_shared
+        ][: tcfg.covis_keyframes]
+        if not neighbors and shared.max() > 0:
+            neighbors = [int(order[0])]
+
+        R_cur = np.asarray(m.kf_R[slot])
+        t_cur = np.asarray(m.kf_t[slot])
+        # projections of existing points into the current frame, for fuse
+        pts_np = np.asarray(m.pts)
+        pt_valid_np = np.asarray(m.pt_valid)
+        K_np = np.asarray(self.K)
+        pc = pts_np @ R_cur.T + t_cur
+        zs = np.where(np.abs(pc[:, 2:]) < 1e-9, 1e-9, pc[:, 2:])
+        proj = (pc[:, :2] / zs) @ K_np[:2, :2].T + K_np[:2, 2]
+        proj_ok = pt_valid_np & (pc[:, 2] > 0.05)
+        map_desc_np = np.asarray(m.desc)
+
+        n_new_total = 0
+        n_fused = 0
+        for nb in neighbors:
+            m = self.map
+            kf_kp_pt_now = np.asarray(m.kf_kp_pt)
+            cur_free = kf_kp_pt_now[slot] < 0
+            nb_free = kf_kp_pt_now[nb] < 0
+            from ..geometry.fundamental import fundamental_from_poses
+
+            R_nb = np.asarray(m.kf_R[nb])
+            t_nb = np.asarray(m.kf_t[nb])
+            F21 = fundamental_from_poses(
+                jnp.asarray(R_nb), jnp.asarray(t_nb),
+                jnp.asarray(R_cur), jnp.asarray(t_cur), self.K,
+            )
+            res = search_for_triangulation(
+                m.kf_kp_desc[nb], m.kf_kp_xy[nb], m.kf_kp_octave[nb],
+                m.kf_kp_angle[nb], m.kf_kp_valid[nb] & jnp.asarray(nb_free),
+                m.kf_kp_desc[slot], m.kf_kp_xy[slot], m.kf_kp_octave[slot],
+                m.kf_kp_angle[slot], m.kf_kp_valid[slot] & jnp.asarray(cur_free),
+                F21, cfg.matcher, cfg.orb.scale_factor,
+            )
+            m12 = np.asarray(res.matches12)
+            i1 = np.where(m12 >= 0)[0]
+            if len(i1) == 0:
+                continue
+            i2 = m12[i1]
+            x1 = np.asarray(m.kf_kp_xy[nb])[i1]
+            x2 = np.asarray(m.kf_kp_xy[slot])[i2]
+            pts = np.asarray(
+                _triangulate_world(
+                    jnp.asarray(R_nb), jnp.asarray(t_nb),
+                    jnp.asarray(R_cur), jnp.asarray(t_cur), self.K,
+                    jnp.asarray(x1), jnp.asarray(x2),
+                )
+            )
+            # vet: cheirality, per-octave reprojection chi2, parallax
+            oct1 = np.asarray(m.kf_kp_octave[nb])[i1]
+            oct2 = np.asarray(m.kf_kp_octave[slot])[i2]
+            s2_1 = cfg.orb.scale_factor ** (2.0 * oct1)
+            s2_2 = cfg.orb.scale_factor ** (2.0 * oct2)
+            err1, z1 = _reproj_chi2(R_nb, t_nb, self.K, pts, x1)
+            err2, z2 = _reproj_chi2(R_cur, t_cur, self.K, pts, x2)
+            o1 = -R_nb.T @ t_nb
+            o2 = -R_cur.T @ t_cur
+            r1 = pts - o1
+            r2 = pts - o2
+            cosp = np.sum(r1 * r2, -1) / np.maximum(
+                np.linalg.norm(r1, axis=-1) * np.linalg.norm(r2, axis=-1),
+                1e-12,
+            )
+            ok = (
+                np.isfinite(pts).all(-1)
+                & (z1 > 0.05) & (z2 > 0.05)
+                & (err1 < 5.991 * s2_1) & (err2 < 5.991 * s2_2)
+                & (cosp < 0.9998)
+            )
+            # fuse: candidate duplicates an existing point's projection
+            kp_desc_cur = np.asarray(m.kf_kp_desc[slot])
+            fuse_r2 = tcfg.fuse_radius_px ** 2
+            created, fused = self._insert_triangulated(
+                slot, nb, i1[ok], i2[ok], pts[ok], oct1[ok], oct2[ok],
+                proj, proj_ok, map_desc_np, kp_desc_cur, x2[ok], fuse_r2,
+            )
+            n_new_total += created
+            n_fused += fused
+        return n_new_total, n_fused
+
+    def _insert_triangulated(self, slot, nb, i1, i2, pts, oct1, oct2,
+                             proj, proj_ok, map_desc_np, kp_desc_cur,
+                             x2, fuse_r2):
+        """Insert vetted triangulations, fusing with existing points whose
+        projection coincides (ORB-SLAM's Fuse semantics at create time)."""
+        cfg = self.cfg
+        m = self.map
+        n_cand = len(i1)
+        if n_cand == 0:
+            return 0, 0
+        # duplicate detection against existing projected points
+        fuse_target = np.full(n_cand, -1, np.int64)
+        if proj_ok.any():
+            pidx = np.where(proj_ok)[0]
+            d2 = (
+                (proj[pidx, 0][None, :] - x2[:, 0][:, None]) ** 2
+                + (proj[pidx, 1][None, :] - x2[:, 1][:, None]) ** 2
+            )
+            for c in range(n_cand):
+                near = pidx[d2[c] < fuse_r2]
+                if len(near) == 0:
+                    continue
+                dc = kp_desc_cur[i2[c]]
+                hd = np.array([
+                    sum(int(a ^ b).bit_count()
+                        for a, b in zip(map_desc_np[p], dc))
+                    for p in near
+                ])
+                j = int(np.argmin(hd))
+                if hd[j] <= cfg.matcher.th_low:
+                    fuse_target[c] = near[j]
+
+        fused_idx = np.where(fuse_target >= 0)[0]
+        new_idx = np.where(fuse_target < 0)[0]
+
+        # fused candidates: associate the current keypoint to the existing
+        # point (one extra observation for this keyframe)
+        n_fused = 0
+        if len(fused_idx):
+            rows = free_slots(m.obs_valid, len(fused_idx))
+            take = fused_idx[: len(rows)]
+            tgt = fuse_target[take]
+            inv_s2 = (1.0 / cfg.orb.scale_factor ** (2 * oct2[take])).astype(np.float32)
+            m = m._replace(
+                obs_kf=m.obs_kf.at[rows].set(slot),
+                obs_pt=m.obs_pt.at[rows].set(jnp.asarray(tgt)),
+                obs_kp=m.obs_kp.at[rows].set(jnp.asarray(i2[take])),
+                obs_uv=m.obs_uv.at[rows].set(jnp.asarray(x2[take].astype(np.float32))),
+                obs_inv_sigma2=m.obs_inv_sigma2.at[rows].set(jnp.asarray(inv_s2)),
+                obs_valid=m.obs_valid.at[rows].set(True),
+                n_obs=m.n_obs.at[jnp.asarray(tgt)].add(1),
+                kf_kp_pt=m.kf_kp_pt.at[slot, jnp.asarray(i2[take])].set(
+                    jnp.asarray(tgt, jnp.int32)),
+                pt_found=m.pt_found.at[jnp.asarray(tgt)].add(1),
+                pt_visible=m.pt_visible.at[jnp.asarray(tgt)].add(1),
+            )
+            n_fused = len(take)
+
+        # genuinely new points
+        free_pts = free_slots(m.pt_valid, len(new_idx))
+        n_new = len(free_pts)
+        rows = free_slots(m.obs_valid, 2 * n_new)
+        n_new = min(n_new, len(rows) // 2)
+        if n_new > 0:
+            take = new_idx[:n_new]
+            slots = free_pts[:n_new]
+            rows1 = rows[:n_new]
+            rows2 = rows[n_new: 2 * n_new]
+            uv1 = np.asarray(m.kf_kp_xy[nb])[i1[take]]
+            uv2 = x2[take]
+            inv1 = (1.0 / cfg.orb.scale_factor ** (2 * oct1[take])).astype(np.float32)
+            inv2 = (1.0 / cfg.orb.scale_factor ** (2 * oct2[take])).astype(np.float32)
+            m = m._replace(
+                pts=m.pts.at[slots].set(jnp.asarray(pts[take].astype(np.float32))),
+                desc=m.desc.at[slots].set(m.kf_kp_desc[slot][jnp.asarray(i2[take])]),
+                pt_valid=m.pt_valid.at[slots].set(True),
+                n_obs=m.n_obs.at[slots].set(2),
+                pt_birth_kf=m.pt_birth_kf.at[slots].set(self.kf_insert_count),
+                pt_visible=m.pt_visible.at[slots].set(1),
+                pt_found=m.pt_found.at[slots].set(1),
+                obs_kf=m.obs_kf.at[rows1].set(nb).at[rows2].set(slot),
+                obs_pt=m.obs_pt.at[rows1].set(jnp.asarray(slots))
+                                 .at[rows2].set(jnp.asarray(slots)),
+                obs_kp=m.obs_kp.at[rows1].set(jnp.asarray(i1[take]))
+                                 .at[rows2].set(jnp.asarray(i2[take])),
+                obs_uv=m.obs_uv.at[rows1].set(jnp.asarray(uv1.astype(np.float32)))
+                               .at[rows2].set(jnp.asarray(uv2.astype(np.float32))),
+                obs_inv_sigma2=m.obs_inv_sigma2.at[rows1].set(jnp.asarray(inv1))
+                                               .at[rows2].set(jnp.asarray(inv2)),
+                obs_valid=m.obs_valid.at[rows1].set(True).at[rows2].set(True),
+                kf_kp_pt=m.kf_kp_pt
+                    .at[nb, jnp.asarray(i1[take])].set(jnp.asarray(slots, jnp.int32))
+                    .at[slot, jnp.asarray(i2[take])].set(jnp.asarray(slots, jnp.int32)),
+            )
+        self.map = m
+        return int(n_new), int(n_fused)
 
     def _init_bow(self, kps):
         import numpy as _np
@@ -565,19 +844,41 @@ class Tracker:
         cfg = self.cfg
         m = self.map
         window = cfg.tracker.ba_window
-        kf_idx = np.arange(m.kf_capacity)
-        fixed = ~np.asarray(m.kf_valid) | (kf_idx < max(self.n_kf - window, 1))
-        fixed[0] = True
+        # free = the `window` most recent keyframes by frame id (slots are
+        # recycled, so slot order is not time order); the oldest keyframe
+        # is always fixed as the gauge anchor
+        kf_valid = np.asarray(m.kf_valid)
+        fids = np.asarray(m.kf_frame_id)
+        fixed = ~kf_valid
+        vs = np.where(kf_valid)[0]
+        if len(vs):
+            by_recent = vs[np.argsort(-fids[vs])]
+            recent = set(by_recent[:window].tolist())
+            for k in vs:
+                if int(k) not in recent:
+                    fixed[k] = True
+            fixed[vs[np.argmin(fids[vs])]] = True
         res = bundle_adjust(
             m.kf_R, m.kf_t, m.pts,
             m.obs_kf, m.obs_pt, m.obs_uv, m.obs_inv_sigma2, m.obs_valid,
             jnp.asarray(fixed), m.pt_valid, self.K,
             iterations=cfg.tracker.ba_iterations,
+            max_free_cams=window,
         )
-        # prune observations reclassified as outliers
+        # prune observations reclassified as outliers, keeping the
+        # bookkeeping consistent: per-point observation counts drop with
+        # the pruned rows and the keyframe snapshots' keypoint->point
+        # associations are severed (Frame.hpp:91-93's "marked as outliers
+        # after BA" lifecycle, completed)
+        pruned = m.obs_valid & ~res.obs_inlier
+        sever = jnp.zeros(m.kf_kp_pt.shape, jnp.int32).at[
+            m.obs_kf, m.obs_kp
+        ].add(pruned.astype(jnp.int32)) > 0
         self.map = m._replace(
             kf_R=res.kf_R, kf_t=res.kf_t, pts=res.pts,
             obs_valid=m.obs_valid & res.obs_inlier,
+            n_obs=m.n_obs.at[m.obs_pt].add(-pruned.astype(jnp.int32)),
+            kf_kp_pt=jnp.where(sever, -1, m.kf_kp_pt),
         )
         # adopt the refined pose of the newest keyframe as the current pose
         self.R = np.asarray(res.kf_R[newest_slot])
@@ -604,6 +905,11 @@ class Tracker:
 
         cfg = self.cfg
         reloc_kf = -1
+        # BoW place recognition proposes candidate keyframes; the 2D-3D
+        # search is RESTRICTED to the points those keyframes observe
+        # (``TemplatedDatabase.h:35``'s query→candidates purpose — at real
+        # map sizes the map-wide search both costs and mismatches more).
+        cand_points = self.map.pt_valid
         if self.vocab is not None and self.n_kf > 0:
             from ..bow.database import query
             from ..bow.vocabulary import transform
@@ -611,13 +917,21 @@ class Tracker:
             _, bow = transform(self.vocab, kps.desc, kps.valid)
             scores = np.asarray(query(self.kf_db, bow))
             reloc_kf = int(np.argmax(scores))
+            k = min(cfg.tracker.reloc_bow_candidates, int(np.isfinite(scores).sum()))
+            if k > 0:
+                cands = np.argsort(-scores)[:k]
+                cands = cands[np.isfinite(scores[cands])]
+                assoc = np.asarray(self.map.kf_kp_pt)[cands]
+                allowed = np.zeros(self.map.point_capacity, bool)
+                allowed[assoc[assoc >= 0]] = True
+                cand_points = self.map.pt_valid & jnp.asarray(allowed)
 
-        # window-free 2D-3D matching: each map point finds its best frame
-        # keypoint (this direction keeps the candidate pool small and the
-        # ratio test meaningful — most keypoints have no map point)
-        # loose gates — RANSAC absorbs the resulting outliers
+        # window-free 2D-3D matching: each candidate map point finds its
+        # best frame keypoint (this direction keeps the candidate pool
+        # small and the ratio test meaningful — most keypoints have no map
+        # point); loose gates — RANSAC absorbs the resulting outliers
         m12 = match_descriptors(
-            self.map.desc, self.map.pt_valid, kps.desc, kps.valid,
+            self.map.desc, cand_points, kps.desc, kps.valid,
             ratio=0.9, th=cfg.matcher.th_high,
         )
         mnp = np.asarray(m12)

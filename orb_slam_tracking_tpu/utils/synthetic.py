@@ -115,3 +115,49 @@ def make_trajectory(n_frames: int, mode: str = "strafe") -> List[Tuple[np.ndarra
         t = -R @ centre
         poses.append((R.astype(np.float32), t.astype(np.float32)))
     return poses
+
+
+def synthetic_ba_problem(seed: int, nK: int = 8, nP: int = 512,
+                         fx: float = 450.0, fy: float = 450.0,
+                         cx: float = 320.0, cy: float = 240.0):
+    """Deterministic bundle-adjustment test problem: a yawing strafe past
+    a point cloud with noisy observations and perturbed initial state.
+    Shared by the sharded-BA tests and the multi-process parity worker
+    (both sides must construct the identical problem from the seed).
+
+    Returns (pts0, kf_R0, kf_t0, obs_kf, obs_pt, obs_uv, K).
+    """
+    import jax.numpy as jnp
+
+    from ..geometry import se3
+
+    rng = np.random.default_rng(seed)
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+    pts_gt = np.stack(
+        [rng.uniform(-3, 3, nP), rng.uniform(-2, 2, nP), rng.uniform(3, 9, nP)], -1
+    ).astype(np.float32)
+    kf_R, kf_t = [], []
+    for k in range(nK):
+        yaw = np.radians(1.2 * k)
+        Rwc = np.array(
+            [[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
+             [-np.sin(yaw), 0, np.cos(yaw)]], np.float32,
+        )
+        c = np.array([-0.25 * k, 0.02 * k, 0.04 * k], np.float32)
+        R = Rwc.T
+        kf_R.append(R)
+        kf_t.append(-R @ c)
+    kf_R = np.stack(kf_R)
+    kf_t = np.stack(kf_t)
+    obs_kf = np.repeat(np.arange(nK), nP).astype(np.int32)
+    obs_pt = np.tile(np.arange(nP), nK).astype(np.int32)
+    pc = np.einsum("kij,pj->kpi", kf_R, pts_gt) + kf_t[:, None, :]
+    uv = (pc[..., :2] / pc[..., 2:]) * [fx, fy] + [cx, cy]
+    obs_uv = (uv.reshape(-1, 2) + rng.normal(0, 0.5, (nK * nP, 2))).astype(np.float32)
+    pts0 = pts_gt * (1 + rng.normal(0, 0.02, (nP, 1))).astype(np.float32)
+    xi = rng.normal(0, 0.008, (nK, 6)).astype(np.float32)
+    xi[0] = 0
+    dR, dt = se3.se3_exp(jnp.asarray(xi))
+    kf_R0 = np.asarray(dR) @ kf_R
+    kf_t0 = np.einsum("kij,kj->ki", np.asarray(dR), kf_t) + np.asarray(dt)
+    return pts0, kf_R0, kf_t0, obs_kf, obs_pt, obs_uv, K

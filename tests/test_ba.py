@@ -117,3 +117,37 @@ def test_invalid_obs_and_points_ignored(rng):
     np.testing.assert_allclose(
         np.asarray(res_bad.kf_t), np.asarray(res_ref.kf_t), atol=1e-6
     )
+
+
+def test_bounded_free_cam_window_matches_full(rng):
+    """max_free_cams (the compact Schur coupling) must reproduce the
+    unbounded solve when the free-camera count fits the bound."""
+    import jax.numpy as jnp
+
+    from orb_slam_tracking_tpu.utils.synthetic import synthetic_ba_problem
+
+    nK, nP = 8, 256
+    pts0, kf_R0, kf_t0, obs_kf, obs_pt, obs_uv, K = synthetic_ba_problem(
+        7, nK, nP
+    )
+    O = nK * nP
+    fixed = np.zeros(nK, bool)
+    fixed[0] = True
+    fixed[3] = True  # fixed camera in the middle: exercises rank packing
+    args = (
+        jnp.asarray(kf_R0), jnp.asarray(kf_t0), jnp.asarray(pts0),
+        jnp.asarray(obs_kf), jnp.asarray(obs_pt), jnp.asarray(obs_uv),
+        jnp.ones(O), jnp.ones(O, bool), jnp.asarray(fixed),
+        jnp.ones(nP, bool), jnp.asarray(K),
+    )
+    full = bundle_adjust(*args, iterations=8)
+    # bound exactly at the free count (6) and above it (7)
+    for nf in (6, 7):
+        bounded = bundle_adjust(*args, iterations=8, max_free_cams=nf)
+        np.testing.assert_allclose(
+            np.asarray(bounded.kf_t), np.asarray(full.kf_t), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(bounded.pts), np.asarray(full.pts), atol=1e-5
+        )
+        assert abs(float(bounded.cost) - float(full.cost)) < 1e-3

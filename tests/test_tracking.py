@@ -86,7 +86,7 @@ def test_tracking_survives_map_growth(rng):
     tr, poses, rot_errs = _run_sequence(rng, n_frames=24, mode="strafe")
     n_pts = int(tr.map.n_points())
     # new points triangulated beyond the initial map
-    assert tr.obs_cursor > 2 * 100
+    assert int(np.asarray(tr.map.obs_valid).sum()) > 2 * 100
     assert n_pts > 80
 
 
