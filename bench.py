@@ -104,6 +104,10 @@ def main():
             md[i, b // 32] ^= np.uint32(1) << np.uint32(b % 32)
     map_desc = jnp.asarray(md)
     map_valid = jnp.ones(P, bool)
+    # no viewing statistics in the bench map: zero dmax disables the
+    # per-point frustum gates (matching the CPU anchor's workload)
+    map_normal = jnp.zeros((P, 3), jnp.float32)
+    map_dzero = jnp.zeros((P,), jnp.float32)
     K = jnp.asarray(np.array(
         [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], np.float32))
 
@@ -111,7 +115,8 @@ def main():
     def track_scan(carry):
         def body(c, _):
             img, R, t = c
-            r = step(img, map_pts, map_desc, map_valid, R, t, R, t, K)
+            r = step(img, map_pts, map_desc, map_valid,
+                     map_normal, map_dzero, map_dzero, R, t, R, t, K)
             probe = (
                 jnp.sum(r.R) + jnp.sum(r.t) + r.n_inliers + r.n_matches1
                 + r.n_matches2 + r.n_kps + jnp.sum(r.kp_for_point)

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Train an ORB vocabulary artifact from a corpus of frames.
+
+The offline-artifact workflow of DBoW2 (``TemplatedVocabulary.h:107-140``
+``create`` from per-image feature lists, ``:229-265`` save/load): extract
+ORB descriptors from many frames, cluster a (k, L) tree, save it as npz.
+Point ``TrackerConfig.vocab_path`` at the output to use it for
+place-recognition instead of the per-run init-frame vocabulary.
+
+Usage:
+  python examples/train_vocabulary.py out.npz --images dir/  # PNG/JPG dir
+  python examples/train_vocabulary.py out.npz --synthetic 40 # no dataset
+"""
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out", help="output .npz vocabulary path")
+    ap.add_argument("--images", help="directory of grayscale-able images")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="train from N rendered synthetic frames instead")
+    ap.add_argument("-k", type=int, default=10, help="branching factor")
+    ap.add_argument("-L", "--depth", type=int, default=4, help="tree depth")
+    ap.add_argument("--n-features", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from orb_slam_tracking_tpu.bow import (
+        build_vocabulary_from_frames,
+        save_vocabulary,
+    )
+    from orb_slam_tracking_tpu.config import OrbConfig
+
+    frames = []
+    if args.images:
+        from orb_slam_tracking_tpu.io.images import load_gray
+
+        names = sorted(os.listdir(args.images))
+        for n in names:
+            if n.lower().endswith((".png", ".jpg", ".jpeg", ".pgm")):
+                frames.append(load_gray(os.path.join(args.images, n)))
+        if not frames:
+            print(f"no images found in {args.images}", file=sys.stderr)
+            return 1
+    elif args.synthetic:
+        from orb_slam_tracking_tpu.config import CameraConfig
+        from orb_slam_tracking_tpu.utils.synthetic import (
+            CornerField,
+            make_trajectory,
+            render_frame,
+        )
+
+        rng = np.random.default_rng(args.seed)
+        cam = CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=240.0,
+                           width=640, height=480)
+        # several independent scenes for descriptor diversity
+        per_scene = 8
+        n_scenes = max(1, args.synthetic // per_scene)
+        for s in range(n_scenes):
+            field = CornerField(rng, n=600)
+            for R, t in make_trajectory(per_scene, "strafe"):
+                frames.append(render_frame(field, cam, R, t))
+    else:
+        print("pass --images DIR or --synthetic N", file=sys.stderr)
+        return 1
+
+    ocfg = OrbConfig(n_features=args.n_features)
+    voc = build_vocabulary_from_frames(
+        frames, ocfg, k=args.k, depth=args.depth, seed=args.seed
+    )
+    save_vocabulary(voc, args.out)
+    print(f"trained (k={args.k}, L={args.depth}) vocabulary "
+          f"({voc.n_words} words) from {len(frames)} frames -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -141,6 +141,34 @@ def build_vocabulary(descs: np.ndarray, k: int = 10, depth: int = 4,
     )
 
 
+def build_vocabulary_from_frames(images, orb_cfg, k: int = 10,
+                                 depth: int = 4, seed: int = 0,
+                                 max_descriptors: int = 200_000) -> Vocabulary:
+    """Train a vocabulary from a CORPUS of frames (the reference workflow:
+    pretrained ORB vocabularies are built offline from many images, then
+    shipped as an artifact — ``TemplatedVocabulary.h:107-140`` ``create``
+    takes per-image feature lists).
+
+    Extraction is one jitted program reused across frames; descriptors are
+    pooled (subsampled to ``max_descriptors``) and clustered host-side.
+    """
+    import jax as _jax
+
+    from ..ops.extractor import orb_extract
+
+    ex = _jax.jit(lambda im: orb_extract(im, orb_cfg))
+    pool = []
+    for im in images:
+        kps = ex(jnp.asarray(im, jnp.float32))
+        d = np.asarray(kps.desc)[np.asarray(kps.valid)]
+        pool.append(d)
+    descs = np.concatenate(pool, axis=0)
+    if len(descs) > max_descriptors:
+        rng = np.random.default_rng(seed)
+        descs = descs[rng.choice(len(descs), max_descriptors, replace=False)]
+    return build_vocabulary(descs, k=k, depth=depth, seed=seed)
+
+
 @partial(jax.jit, static_argnames=("voc_k", "voc_depth"))
 def _descend(node_desc, word_weight, desc, valid, voc_k: int, voc_depth: int):
     n = desc.shape[0]

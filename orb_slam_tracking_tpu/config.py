@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 import math
 import re
-from typing import Tuple
+from typing import Optional, Tuple
 
 __all__ = [
     "CameraConfig",
@@ -215,6 +215,11 @@ class TrackerConfig:
     use_bow: bool = True
     bow_branching: int = 8
     bow_depth: int = 3
+    # Path to a pretrained vocabulary artifact (save_vocabulary npz). When
+    # set, the tracker loads it at map init instead of training from the
+    # init frame — the reference's own workflow (a shipped ORBvoc loaded at
+    # System construction; TemplatedVocabulary.h:229-265).
+    vocab_path: Optional[str] = None
     # Local BA window.
     ba_window: int = 20
     ba_iterations: int = 10

@@ -34,7 +34,7 @@ class ProjMatchResult(NamedTuple):
     #                            (feeds MapPoint mnVisible/mnFound tallies)
 
 
-@partial(jax.jit, static_argnames=("cfg", "width", "height"))
+@partial(jax.jit, static_argnames=("cfg", "width", "height", "n_levels"))
 def search_by_projection(
     map_pts: jnp.ndarray,
     map_desc: jnp.ndarray,
@@ -51,6 +51,10 @@ def search_by_projection(
     height: int,
     kp_octave: jnp.ndarray | None = None,
     scale_factor: float = 1.2,
+    pt_normal: jnp.ndarray | None = None,
+    pt_dmin: jnp.ndarray | None = None,
+    pt_dmax: jnp.ndarray | None = None,
+    n_levels: int = 8,
 ) -> ProjMatchResult:
     """Match map points to current-frame keypoints around their projections.
 
@@ -58,6 +62,21 @@ def search_by_projection(
     kp_xy: [N, 2] undistorted keypoint pixels; radius: base search window
     in px — scaled by the keypoint's octave scale when ``kp_octave`` is
     given (ORB-SLAM's ``th * mvScaleFactors[octave]`` windowing).
+
+    When per-point viewing statistics are given (``pt_normal`` [P,3] mean
+    viewing direction, ``pt_dmin``/``pt_dmax`` [P] scale-invariance
+    distance envelope — MapPoint mNormalVector/mfMinDistance/mfMaxDistance,
+    maintained by ``slam.map.update_normal_and_depth``), the full
+    ``Frame::isInFrustum`` gates apply per point:
+
+    - distance inside [0.8 dmin, 1.2 dmax];
+    - viewing ray within 60 deg of the normal (cos > 0.5);
+    - octave predicted from distance (``MapPoint::PredictScale``:
+      ceil(log(dmax/dist)/log(s))), keypoints restricted to
+      [pred-1, pred+1] and the window scaled by s^pred.
+
+    Points with ``dmax == 0`` (no viewing info yet) skip these gates, so
+    freshly created points remain matchable.
     """
     P = map_pts.shape[0]
     N = kp_desc.shape[0]
@@ -72,6 +91,37 @@ def search_by_projection(
     in_image = (u >= 0) & (u < width) & (v >= 0) & (v < height)
     visible = map_valid & in_front & in_image
 
+    octave_gate = None
+    r_pt = None
+    if pt_normal is not None:
+        # camera centre in world coords; viewing ray per point
+        C = -R.T @ t
+        view = map_pts - C[None, :]
+        dist = jnp.linalg.norm(view, axis=-1)
+        has = pt_dmax > 0
+        dist_ok = (dist >= 0.8 * pt_dmin) & (dist <= 1.2 * pt_dmax)
+        cos_view = jnp.sum(view * pt_normal, axis=-1) / jnp.maximum(
+            dist, 1e-9
+        )
+        angle_ok = cos_view > 0.5
+        visible = visible & (~has | (dist_ok & angle_ok))
+        # predicted octave at this distance (PredictScale)
+        ratio = jnp.maximum(pt_dmax, 1e-9) / jnp.maximum(dist, 1e-9)
+        pred = jnp.ceil(
+            jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(scale_factor)
+        ).astype(jnp.int32)
+        pred = jnp.clip(pred, 0, n_levels - 1)
+        r_pt = jnp.where(
+            has, radius * scale_factor ** pred.astype(jnp.float32), 0.0
+        )
+        if kp_octave is not None:
+            ko = kp_octave.astype(jnp.int32)
+            octave_gate = (
+                ~has[:, None]
+                | ((ko[None, :] >= pred[:, None] - 1)
+                   & (ko[None, :] <= pred[:, None] + 1))
+            )
+
     D = hamming_matrix(map_desc, kp_desc)  # [P, N]
     dx = jnp.abs(uv[:, 0:1] - kp_xy[None, :, 0])
     dy = jnp.abs(uv[:, 1:2] - kp_xy[None, :, 1])
@@ -80,9 +130,16 @@ def search_by_projection(
         r_eff = r_eff[None, :]
     else:
         r_eff = radius
+    if r_pt is not None:
+        # distance-predicted window where viewing info exists, keypoint-
+        # octave window otherwise
+        r_eff = jnp.where((pt_dmax > 0)[:, None], r_pt[:, None],
+                          jnp.broadcast_to(r_eff, (P, N)))
     eligible = (
         visible[:, None] & kp_valid[None, :] & (dx <= r_eff) & (dy <= r_eff)
     )
+    if octave_gate is not None:
+        eligible = eligible & octave_gate
     big = jnp.int32(1 << 20)
     Dm = jnp.where(eligible, D, big)
 

@@ -19,7 +19,7 @@ from .tracker import TrackState, Tracker
 
 __all__ = ["save_tracker", "load_tracker"]
 
-_FORMAT_VERSION = 3
+_FORMAT_VERSION = 4  # v4: per-point viewing statistics (normal/dmin/dmax)
 
 
 def save_tracker(tracker: Tracker, path: str) -> None:
@@ -73,7 +73,8 @@ def load_tracker(tracker: Tracker, path: str) -> Tracker:
     version = int(z["version"])
     if version != _FORMAT_VERSION:
         # v1/v2 predate the lifecycle map layout (keyframe snapshots,
-        # recycled slots) and cannot be mapped onto it
+        # recycled slots); v3 lacks the per-point viewing statistics —
+        # neither can be mapped onto the current SlamMap
         raise ValueError(f"unsupported checkpoint version {version}")
     map_fields = {
         k[len("map_"):]: jnp.asarray(z[k]) for k in z.files if k.startswith("map_")

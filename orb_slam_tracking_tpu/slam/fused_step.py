@@ -62,21 +62,27 @@ def make_tracking_step(
 
     Returned signature:
       step(image [H,W], map_pts [P,3], map_desc [P,8], map_valid [P],
+           map_normal [P,3], map_dmin [P], map_dmax [P],
            R_pred [3,3], t_pred [3], R0 [3,3], t0 [3], K [3,3])
       -> FusedStepResult
     ``R_pred/t_pred`` centre the stage-1 search window (constant-velocity
     prediction); ``R0/t0`` seed the optimizer (the last optimized pose —
     see the rationale in Tracker._track_working). ``radius_scale``
     widens the stage-1 window (the host's low-match retry builds a 2x
-    variant).
+    variant). ``map_normal/map_dmin/map_dmax`` are the per-point viewing
+    statistics driving the isInFrustum gates (zeros disable them
+    per-point — see search_by_projection).
     """
     radius = tracker_cfg.projection_radius * radius_scale
     tight = tracker_cfg.local_map_radius
     scale = orb_cfg.scale_factor
     width, height = cam_cfg.width, cam_cfg.height
+    n_levels = orb_cfg.n_levels
 
     @jax.jit
-    def step(image, map_pts, map_desc, map_valid, R_pred, t_pred, R0, t0, K):
+    def step(image, map_pts, map_desc, map_valid,
+             map_normal, map_dmin, map_dmax,
+             R_pred, t_pred, R0, t0, K):
         kps = orb_extract(image, orb_cfg)
         xy_un = camera.undistort_pixels(cam_cfg, kps.xy)
 
@@ -86,6 +92,8 @@ def make_tracking_step(
                 kps.desc, xy_un, kps.valid, rad, matcher_cfg,
                 width, height,
                 kp_octave=kps.octave, scale_factor=scale,
+                pt_normal=map_normal, pt_dmin=map_dmin, pt_dmax=map_dmax,
+                n_levels=n_levels,
             )
 
         def optimize(R, t, pm):

@@ -26,14 +26,19 @@ the extractor, so every consumer compiles once.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import TrackerConfig
 
-__all__ = ["SlamMap", "empty_map", "free_slots", "OBS_PER_KF"]
+__all__ = [
+    "SlamMap", "empty_map", "free_slots", "update_normal_and_depth",
+    "OBS_PER_KF",
+]
 
 # observation-list capacity per keyframe slot
 OBS_PER_KF = 512
@@ -48,6 +53,14 @@ class SlamMap(NamedTuple):
     pt_birth_kf: jnp.ndarray  # [P] int32 keyframe count at creation (age)
     pt_visible: jnp.ndarray   # [P] int32 frames where predicted visible
     pt_found: jnp.ndarray     # [P] int32 frames where actually matched
+    # viewing statistics (MapPoint mNormalVector / mfMinDistance /
+    # mfMaxDistance — ORB-SLAM UpdateNormalAndDepth): mean unit viewing
+    # direction and the scale-invariance distance envelope. dmax == 0
+    # marks "no viewing info yet"; frustum gates are skipped for such
+    # points.
+    pt_normal: jnp.ndarray    # [P, 3] float32 mean viewing direction
+    pt_dmin: jnp.ndarray      # [P] float32 min scale-invariant distance
+    pt_dmax: jnp.ndarray      # [P] float32 max scale-invariant distance
     # keyframes
     kf_R: jnp.ndarray         # [Kc, 3, 3] world-to-camera
     kf_t: jnp.ndarray         # [Kc, 3]
@@ -88,6 +101,54 @@ class SlamMap(NamedTuple):
         return jnp.sum(self.kf_valid.astype(jnp.int32))
 
 
+@partial(jax.jit, static_argnames=("scale_factor", "n_levels"))
+def update_normal_and_depth(m: SlamMap, scale_factor: float,
+                            n_levels: int) -> SlamMap:
+    """Recompute every point's mean viewing direction and scale-distance
+    envelope from the observation list — the batch analog of ORB-SLAM's
+    per-point ``MapPoint::UpdateNormalAndDepth`` (called after creation
+    and whenever BA moves points/keyframes).
+
+    normal  = mean over observing keyframes of the unit vector from the
+              keyframe's optical centre to the point;
+    dmax    = max over observations of dist * scale^octave  (the distance
+              at which the point would appear at octave 0);
+    dmin    = dmax / scale^(n_levels - 1).
+
+    One segment-sum program over the COO observation list; points with no
+    valid observation keep dmax == 0, which disables the frustum gates in
+    ``search_by_projection``.
+    """
+    P = m.point_capacity
+    okf = m.obs_kf
+    opt = m.obs_pt
+    ov = m.obs_valid & m.kf_valid[okf] & m.pt_valid[opt]
+
+    # keyframe optical centres C = -R^T t
+    centers = -jnp.einsum("kij,ki->kj", m.kf_R, m.kf_t)  # [Kc, 3]
+    view = m.pts[opt] - centers[okf]                     # [O, 3]
+    dist = jnp.linalg.norm(view, axis=-1)
+    unit = view / jnp.maximum(dist, 1e-9)[:, None]
+
+    w = ov.astype(jnp.float32)
+    sum_dir = jnp.zeros((P, 3), jnp.float32).at[opt].add(unit * w[:, None])
+    cnt = jnp.zeros((P,), jnp.float32).at[opt].add(w)
+    normal = sum_dir / jnp.maximum(cnt, 1.0)[:, None]
+    nrm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = normal / jnp.maximum(nrm, 1e-9)
+
+    octv = m.kf_kp_octave[okf, m.obs_kp].astype(jnp.float32)
+    dmax_cand = jnp.where(ov, dist * scale_factor ** octv, 0.0)
+    dmax = jnp.zeros((P,), jnp.float32).at[opt].max(dmax_cand)
+    dmin = dmax / scale_factor ** (n_levels - 1)
+    has = cnt > 0
+    return m._replace(
+        pt_normal=jnp.where(has[:, None], normal, m.pt_normal),
+        pt_dmin=jnp.where(has, dmin, m.pt_dmin),
+        pt_dmax=jnp.where(has, dmax, m.pt_dmax),
+    )
+
+
 def free_slots(valid, n: int) -> np.ndarray:
     """First ``n`` free (invalid) slot indices, host-side. May return
     fewer than ``n`` when capacity is genuinely exhausted."""
@@ -107,6 +168,9 @@ def empty_map(cfg: TrackerConfig, kp_capacity: int = 2048) -> SlamMap:
         pt_birth_kf=jnp.zeros((P,), jnp.int32),
         pt_visible=jnp.zeros((P,), jnp.int32),
         pt_found=jnp.zeros((P,), jnp.int32),
+        pt_normal=jnp.zeros((P, 3), jnp.float32),
+        pt_dmin=jnp.zeros((P,), jnp.float32),
+        pt_dmax=jnp.zeros((P,), jnp.float32),
         kf_R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (Kc, 3, 3)).copy(),
         kf_t=jnp.zeros((Kc, 3), jnp.float32),
         kf_valid=jnp.zeros((Kc,), bool),

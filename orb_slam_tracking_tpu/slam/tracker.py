@@ -290,6 +290,7 @@ class Tracker:
         # full BA over the initial two-keyframe map (the ORB-SLAM
         # GlobalBundleAdjustment-after-init step)
         self._local_ba(1)
+        self._refresh_viewing_stats()
         # place-recognition vocabulary from the init descriptors (the
         # reference would load a pretrained DBoW2 vocabulary here)
         if self.cfg.tracker.use_bow:
@@ -332,6 +333,7 @@ class Tracker:
         m = self.map
         args = (
             m.pts, m.desc, m.pt_valid,
+            m.pt_normal, m.pt_dmin, m.pt_dmax,
             jnp.asarray(R_pred), jnp.asarray(t_pred),
             jnp.asarray(self.R), jnp.asarray(self.t), self.K,
         )
@@ -475,11 +477,26 @@ class Tracker:
         ba_out = self._local_ba(slot)
         out.update(ba_out)
 
+        # refresh per-point viewing statistics (normals + scale-distance
+        # envelope) now that BA moved points/keyframes — the batch analog
+        # of MapPoint::UpdateNormalAndDepth after local mapping
+        self._refresh_viewing_stats()
+
         self._bow_add(slot, kps)
         self.n_kf = int(np.asarray(self.map.kf_valid).sum())
         self.frames_since_kf = 0
         self.kf_ref_inliers = int(n_add) + new_n
         return out
+
+    def _refresh_viewing_stats(self):
+        """Batch MapPoint::UpdateNormalAndDepth over the whole map (one
+        jitted segment-sum program; see slam.map.update_normal_and_depth)."""
+        from .map import update_normal_and_depth
+
+        ocfg = self.cfg.orb
+        self.map = update_normal_and_depth(
+            self.map, ocfg.scale_factor, ocfg.n_levels
+        )
 
     # -------------------- local-mapping slice --------------------
     def _alloc_kf_slot(self) -> int:
@@ -817,13 +834,18 @@ class Tracker:
         import numpy as _np
 
         from ..bow.database import empty_database
-        from ..bow.vocabulary import build_vocabulary
+        from ..bow.vocabulary import build_vocabulary, load_vocabulary
 
         tcfg = self.cfg.tracker
-        train = _np.asarray(kps.desc)[_np.asarray(kps.valid)]
-        self.vocab = build_vocabulary(
-            train, k=tcfg.bow_branching, depth=tcfg.bow_depth, seed=0
-        )
+        if tcfg.vocab_path is not None:
+            # Pretrained-artifact path (the reference's workflow: ORBvoc
+            # loaded at System construction, TemplatedVocabulary.h:229-265).
+            self.vocab = load_vocabulary(tcfg.vocab_path)
+        else:
+            train = _np.asarray(kps.desc)[_np.asarray(kps.valid)]
+            self.vocab = build_vocabulary(
+                train, k=tcfg.bow_branching, depth=tcfg.bow_depth, seed=0
+            )
         self.kf_db = empty_database(tcfg.max_keyframes, self.vocab.n_words)
 
     def _bow_add(self, slot: int, kps):
@@ -971,6 +993,8 @@ class Tracker:
             cfg.tracker.projection_radius, cfg.matcher,
             cfg.camera.width, cfg.camera.height,
             kp_octave=kps.octave, scale_factor=cfg.orb.scale_factor,
+            pt_normal=self.map.pt_normal, pt_dmin=self.map.pt_dmin,
+            pt_dmax=self.map.pt_dmax, n_levels=cfg.orb.n_levels,
         )
         kp_idx = pm.kp_for_point
         matched = kp_idx >= 0

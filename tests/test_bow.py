@@ -156,3 +156,53 @@ def test_direct_index_nodes(rng):
     )
     # levels_up=depth: everything maps to the root
     assert (np.asarray(direct_index_nodes(voc, words, 3)) == 0).all()
+
+
+def test_corpus_training_and_pretrained_ingestion(rng, tmp_path):
+    """Multi-frame corpus training + the pretrained-artifact workflow
+    (TemplatedVocabulary.h:107-140 create, :229-265 save/load): train from
+    rendered frames, save, and have the Tracker load it via vocab_path
+    instead of training its own."""
+    from orb_slam_tracking_tpu.bow import (
+        build_vocabulary_from_frames,
+        save_vocabulary,
+    )
+    from orb_slam_tracking_tpu.config import (
+        CameraConfig,
+        OrbConfig,
+        SystemConfig,
+        TrackerConfig,
+    )
+    from orb_slam_tracking_tpu.slam.tracker import Tracker, TrackState
+    from orb_slam_tracking_tpu.utils.synthetic import (
+        CornerField,
+        make_trajectory,
+        render_frame,
+    )
+
+    cam = CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=240.0,
+                       width=640, height=480)
+    field = CornerField(rng, n=600)
+    poses = make_trajectory(10, "strafe")
+    frames = [render_frame(field, cam, R, t) for R, t in poses]
+
+    voc = build_vocabulary_from_frames(
+        frames[:4], OrbConfig(n_features=500), k=6, depth=3, seed=0
+    )
+    assert voc.n_words == 216
+    path = str(tmp_path / "voc.npz")
+    save_vocabulary(voc, path)
+
+    cfg = SystemConfig(
+        camera=cam,
+        orb=OrbConfig(n_features=1000),
+        tracker=TrackerConfig(max_map_points=2048, max_keyframes=16,
+                              ba_window=8, vocab_path=path),
+    )
+    tr = Tracker(cfg)
+    for i, f in enumerate(frames):
+        tr.track(f, i / 30.0)
+    assert tr.state == TrackState.WORKING
+    # the tracker adopted the artifact, not a per-run training
+    assert tr.vocab is not None and tr.vocab.n_words == 216
+    assert tr.kf_db is not None and tr.kf_db.bow.shape[1] == 216
