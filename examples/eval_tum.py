@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""TUM RGB-D benchmark evaluation: run the tracker over a TUM-layout
+sequence directory, export the estimated trajectory in TUM format, and —
+when ``groundtruth.txt`` is present — report ATE RMSE (Sim(3)-aligned,
+the monocular benchmark methodology) and RPE drift.
+
+This is the measurement harness for the driver's accuracy target (ATE on
+fr1 sequences, BASELINE.json); the reference repo itself ships no
+evaluation tooling. The sequence directory needs the standard layout:
+
+  rgb.txt           # "timestamp path" rows
+  rgb/*.png         # frames
+  groundtruth.txt   # optional: "t tx ty tz qx qy qz qw" rows
+
+Usage:
+  python examples/eval_tum.py SEQ_DIR [--settings YAML] [--max-frames N]
+      [--out est.txt] [--cpu] [--no-bow]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def quat_to_rotation(q):
+    """(qx, qy, qz, qw) -> [3,3] (camera-to-world if the quat is)."""
+    import numpy as np
+
+    x, y, z, w = q
+    n = x * x + y * y + z * z + w * w
+    s = 2.0 / n if n > 0 else 0.0
+    return np.array([
+        [1 - s * (y * y + z * z), s * (x * y - z * w), s * (x * z + y * w)],
+        [s * (x * y + z * w), 1 - s * (x * x + z * z), s * (y * z - x * w)],
+        [s * (x * z - y * w), s * (y * z + x * w), 1 - s * (x * x + y * y)],
+    ])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("seq_dir")
+    ap.add_argument("--settings", default=None,
+                    help="settings YAML (default: TUM fr1 calibration)")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--out", default="trajectory_est.txt")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-bow", action="store_true",
+                    help="disable BoW relocalization (faster startup)")
+    ap.add_argument("--rpe-delta", type=int, default=30,
+                    help="RPE frame gap (30 = 1 s at TUM frame rate)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+
+    import numpy as np
+
+    from orb_slam_tracking_tpu.config import (
+        OrbConfig,
+        SystemConfig,
+        TrackerConfig,
+        load_system_config,
+    )
+    from orb_slam_tracking_tpu.io import load_gray
+    from orb_slam_tracking_tpu.io.tum import (
+        FR1_CAMERA,
+        associate,
+        read_groundtruth,
+        read_image_index,
+        write_trajectory_tum,
+    )
+    from orb_slam_tracking_tpu.slam.tracker import Tracker
+    from orb_slam_tracking_tpu.utils.metrics import (
+        rpe_stats,
+        umeyama_alignment,
+    )
+
+    frames = read_image_index(args.seq_dir)
+    if args.max_frames:
+        frames = frames[: args.max_frames]
+    if not frames:
+        print(f"error: no frames indexed by {args.seq_dir}/rgb.txt",
+              file=sys.stderr)
+        return 2
+
+    if args.settings:
+        cfg = load_system_config(args.settings)
+    else:
+        cfg = SystemConfig(
+            camera=FR1_CAMERA,
+            orb=OrbConfig(n_features=1000),
+            tracker=TrackerConfig(use_bow=not args.no_bow),
+        )
+    if args.no_bow and cfg.tracker.use_bow:
+        cfg = dataclasses.replace(
+            cfg, tracker=dataclasses.replace(cfg.tracker, use_bow=False))
+
+    tracker = Tracker(cfg)
+    n_lost = 0
+    for i, (ts, path) in enumerate(frames):
+        img = load_gray(path)
+        out = tracker.track(img, ts)
+        state = out.get("state", "?")
+        if state == "LOST":
+            n_lost += 1
+        if i % 25 == 0 or i == len(frames) - 1:
+            print(f"[{i + 1}/{len(frames)}] state={state} "
+                  f"kps={out.get('n_kps', '?')} "
+                  f"inliers={out.get('n_inliers', '?')}", flush=True)
+
+    write_trajectory_tum(tracker.trajectory, args.out)
+    print(f"estimated trajectory: {len(tracker.trajectory)} poses "
+          f"-> {args.out} ({n_lost} LOST frames)")
+
+    gt_path = os.path.join(args.seq_dir, "groundtruth.txt")
+    if not os.path.exists(gt_path):
+        print("no groundtruth.txt — skipping ATE/RPE")
+        return 0
+
+    gt = read_groundtruth(args.seq_dir)
+    est_ts = np.array([ts for _, ts, _, _ in tracker.trajectory])
+    pairs = associate(est_ts, gt[:, 0])
+    if len(pairs) < 3:
+        print("too few timestamp associations for ATE")
+        return 1
+    est_centres = np.stack([
+        -(tracker.trajectory[i][2].T @ tracker.trajectory[i][3])
+        for i, _ in pairs
+    ])
+    gt_centres = np.stack([gt[j, 1:4] for _, j in pairs])
+    R_a, t_a, s_a = umeyama_alignment(est_centres, gt_centres)
+    aligned = (s_a * (R_a @ est_centres.T)).T + t_a
+    ate = float(np.sqrt(np.mean(np.sum((aligned - gt_centres) ** 2, -1))))
+
+    # world-to-camera pose lists at associated timestamps for RPE
+    est_Rt = [(tracker.trajectory[i][2], tracker.trajectory[i][3])
+              for i, _ in pairs]
+    gt_Rt = []
+    for _, j in pairs:
+        R_wc = quat_to_rotation(gt[j, 4:8])
+        centre = gt[j, 1:4]
+        gt_Rt.append((R_wc.T, -R_wc.T @ centre))
+    delta = min(args.rpe_delta, max(len(pairs) - 1, 1))
+    rpe_t, rpe_r = rpe_stats(est_Rt, gt_Rt, delta=delta, scale=s_a)
+
+    print(f"associated poses: {len(pairs)}  (scale {s_a:.4f})")
+    print(f"ATE RMSE: {ate * 100:.2f} cm")
+    print(f"RPE (delta={delta}): {rpe_t * 100:.2f} cm, {rpe_r:.3f} deg")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

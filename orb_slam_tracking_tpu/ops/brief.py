@@ -64,14 +64,22 @@ def descriptors_at(
     xi = jnp.clip(xi, 0, w - 1)
     yi = jnp.clip(yi, 0, blurred_padded.shape[0] - 1)
 
+    # Round the blurred image to integers before comparison — the
+    # reference blurs into CV_8U (``ORBextractor.cpp:1113-1116``), so its
+    # descriptor bits compare INTEGER intensities. Matching that here (on
+    # both backends identically) also makes every sample value exactly
+    # representable in bf16, unlocking the kernel's single-pass path.
+    blurred_int = jnp.rint(blurred_padded)
+
     if jax.default_backend() == "tpu":
         # per-keypoint DMA + one-hot contractions (pallas_kernels.py) —
         # XLA's gather runs at ~100 MB/s effective on TPU
         from .pallas_kernels import brief_sample_pallas
 
-        vals = brief_sample_pallas(blurred_padded, yi, xi)
+        vals = brief_sample_pallas(blurred_int, yi, xi,
+                                   integer_values=True)
     else:
-        flat = blurred_padded.reshape(-1)
+        flat = blurred_int.reshape(-1)
         vals = flat[yi * w + xi]  # [N, 512]
     t0, t1 = vals[:, :256], vals[:, 256:]
     bits = (t0 < t1).astype(jnp.uint32)

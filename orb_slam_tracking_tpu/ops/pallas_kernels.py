@@ -139,6 +139,11 @@ _P_COLS = 256  # patch cols (2 lanes; local col ids land in [2, 167])
 _KP_GROUP = 16  # keypoints per grid step (sublane-aligned blocks)
 _S_CHUNK = 256  # sample-axis chunk (bounds the [G, S, COLS] VMEM buffers)
 
+# integer-image fast path (values exactly representable in bf16);
+# G16/S256 measured best (G32 within noise)
+_KP_GROUP_INT = 16
+_S_CHUNK_INT = 256
+
 
 def _brief_kernel(rs_ref, cs_ref, ly_ref, lx_ref, img_ref, out_ref,
                   patch_ref, sems):
@@ -213,16 +218,89 @@ def _brief_kernel(rs_ref, cs_ref, ly_ref, lx_ref, img_ref, out_ref,
         out_ref[:, c0: c0 + _S_CHUNK] = jnp.sum(tmp * colhot, axis=2)
 
 
+def _brief_kernel_int(rs_ref, cs_ref, ly_ref, lx_ref, img_ref, out_ref,
+                      patch_ref, sems):
+    """Integer-image variant of ``_brief_kernel``: when every pixel value
+    is an integer in [0, 255] (the reference blurs into 8U —
+    ``ORBextractor.cpp:1115`` GaussianBlur on CV_8U), bf16 represents the
+    values EXACTLY, so a single bf16 contraction is exact.
+
+    Structure (2.2x the hi/lo kernel, measured): a per-step ablation
+    showed the DMAs, the MXU matmuls and the grid overhead are all ~free;
+    the cost was VPU one-hot work and above all masked reductions over
+    the LANE dim. So v4 runs the COLUMN selection on the MXU (contract C:
+    patches [G,R,C] x colhot [G,S,C] -> colsel [G,R,S]) and the final row
+    selection as a masked reduce over R in the SUBLANE dim, leaving the
+    colhot construction as the only large VPU op. Same double-buffered
+    DMA pipeline as ``_brief_kernel``."""
+    i = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+
+    def dma_for(step, buf, j):
+        k = step * _KP_GROUP_INT + j
+        rs = pl.multiple_of(rs_ref[k], 8)
+        cs = pl.multiple_of(cs_ref[k], 128)
+        return pltpu.make_async_copy(
+            img_ref.at[pl.ds(rs, _P_ROWS), pl.ds(cs, _P_COLS)],
+            patch_ref.at[buf, j],
+            sems.at[buf, j],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for j in range(_KP_GROUP_INT):
+            dma_for(i, slot, j).start()
+
+    @pl.when(i + 1 < n_steps)
+    def _():
+        nxt = jax.lax.rem(i + 1, 2)
+        for j in range(_KP_GROUP_INT):
+            dma_for(i + 1, nxt, j).start()
+
+    for j in range(_KP_GROUP_INT):
+        dma_for(i, slot, j).wait()
+    patches = patch_ref[slot].astype(jnp.bfloat16)  # exact: ints <= 255
+    rows_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (_KP_GROUP_INT, _P_ROWS, _S_CHUNK_INT), 1
+    )
+    cols_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (_KP_GROUP_INT, _S_CHUNK_INT, _P_COLS), 2
+    )
+    # contract C: lhs [G, R, C] x rhs [G, S, C] -> [G, R, S]
+    dn = (((2,), (2,)), ((0,), (0,)))
+    for c0 in range(0, 512, _S_CHUNK_INT):
+        ly = ly_ref[:, c0: c0 + _S_CHUNK_INT]
+        lx = lx_ref[:, c0: c0 + _S_CHUNK_INT]
+        colhot = (cols_iota == lx[:, :, None]).astype(jnp.bfloat16)
+        colsel = jax.lax.dot_general(
+            patches, colhot, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )  # [G, R, S_CHUNK]
+        rowmask = rows_iota == ly[:, None, :]
+        out_ref[:, c0: c0 + _S_CHUNK_INT] = jnp.sum(
+            jnp.where(rowmask, colsel, 0.0), axis=1
+        )
+
+
 def brief_sample_pallas(blurred_padded: jnp.ndarray, sy: jnp.ndarray,
-                        sx: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+                        sx: jnp.ndarray, interpret: bool = False,
+                        integer_values: bool = False) -> jnp.ndarray:
     """Sample ``blurred_padded[sy, sx]`` for [N, 512] integer coordinates.
 
     Coordinates are absolute indices into the padded level image; callers
     guarantee they lie >= 13 away from the array edge (keypoint border +
     apron geometry). Returns [N, 512] float32 samples.
+
+    ``integer_values=True`` asserts every pixel value is an integer in
+    [0, 255] (true for the rint'ed blur output — the reference's blur is
+    8U): the kernel then runs a single-pass bf16 path with double the
+    keypoint group, exact for such inputs.
     """
+    group = _KP_GROUP_INT if integer_values else _KP_GROUP
+    kernel = _brief_kernel_int if integer_values else _brief_kernel
     n0 = sy.shape[0]
-    n = ((n0 + _KP_GROUP - 1) // _KP_GROUP) * _KP_GROUP
+    n = ((n0 + group - 1) // group) * group
     if n != n0:
         # pad with copies of row 0 (valid coordinates), sliced off below
         sy = jnp.concatenate([sy, jnp.broadcast_to(sy[:1], (n - n0, 512))])
@@ -242,23 +320,23 @@ def brief_sample_pallas(blurred_padded: jnp.ndarray, sy: jnp.ndarray,
     lx = (sx - cs[:, None]).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n // _KP_GROUP,),
+        grid=(n // group,),
         in_specs=[
-            pl.BlockSpec((_KP_GROUP, 512), lambda i, rs, cs: (i, 0),
+            pl.BlockSpec((group, 512), lambda i, rs, cs: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_KP_GROUP, 512), lambda i, rs, cs: (i, 0),
+            pl.BlockSpec((group, 512), lambda i, rs, cs: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((_KP_GROUP, 512), lambda i, rs, cs: (i, 0),
+        out_specs=pl.BlockSpec((group, 512), lambda i, rs, cs: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, _KP_GROUP, _P_ROWS, _P_COLS), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, _KP_GROUP)),
+            pltpu.VMEM((2, group, _P_ROWS, _P_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, group)),
         ],
     )
     out = pl.pallas_call(
-        _brief_kernel,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((n, 512), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

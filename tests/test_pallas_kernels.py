@@ -31,6 +31,25 @@ def test_brief_sampler_matches_gather(rng):
     np.testing.assert_allclose(got, ref, atol=2e-3)
 
 
+def test_brief_sampler_integer_path_exact(rng):
+    """The integer fast path (single-pass bf16) must be EXACT on
+    integer-valued images in [0, 255] — the production input after the
+    rint'ed blur (descriptors_at)."""
+    img = jnp.asarray(
+        np.floor(rng.random((518, 678)) * 256).astype(np.float32))
+    n = 100  # not a multiple of the int group (32): exercises padding
+    cy = rng.integers(35, 480, n)
+    cx = rng.integers(35, 640, n)
+    sy = (cy[:, None] + rng.integers(-19, 20, (n, 512))).astype(np.int32)
+    sx = (cx[:, None] + rng.integers(-19, 20, (n, 512))).astype(np.int32)
+    ref = np.asarray(img).reshape(-1)[sy * 678 + sx]
+    got = np.asarray(
+        brief_sample_pallas(img, jnp.asarray(sy), jnp.asarray(sx),
+                            interpret=True, integer_values=True)
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_hamming_pallas_matches_mxu(rng):
     d1 = jnp.asarray(rng.integers(0, 2**32, (256, 8), dtype=np.uint32))
     d2 = jnp.asarray(rng.integers(0, 2**32, (128, 8), dtype=np.uint32))
