@@ -2,16 +2,18 @@
 
 TPU-native replacement for the reference's per-candidate scalar SWAR
 popcount loop (``DBoW2::FORB::distance``, ``Thirdparty/DBoW2/src/FORB.cpp:
-77-115``, called from ``ORBmatcher.cpp:64``). Two formulations:
+77-115``, called from ``ORBmatcher.cpp:64``). Formulations:
 
-1. ``hamming_matrix`` — MXU bit-matmul: unpack descriptors to {0,1} int8
-   planes [N, 256] and use ``ham(a,b) = pop(a) + pop(b) - 2 a.b``. The
-   [N1, 256] x [256, N2] int8 contraction rides the systolic array, which
+1. ``hamming_matrix`` / ``hamming_matrix_bf16`` — MXU bit-matmul: unpack
+   descriptors to {0,1} bf16 planes [N, 256] and use
+   ``ham(a,b) = pop(a) + pop(b) - 2 a.b`` with f32 accumulation (exact).
+   The [N1, 256] x [256, N2] contraction rides the systolic array, which
    beats any elementwise XOR/popcount formulation for all-pairs matching.
-2. ``hamming_matrix_xor`` — XOR + ``lax.population_count`` reference
+2. ``hamming_matrix_mxu`` — int8-plane variant of the same identity.
+3. ``hamming_matrix_xor`` — XOR + ``lax.population_count`` reference
    implementation for validation (also fine for small candidate sets).
 
-Both return int32 distances in [0, 256].
+All return int32 distances in [0, 256].
 """
 
 from __future__ import annotations
@@ -19,7 +21,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["unpack_bits", "popcount_rows", "hamming_matrix", "hamming_matrix_xor"]
+__all__ = [
+    "unpack_bits", "popcount_rows", "hamming_matrix", "hamming_matrix_bf16",
+    "hamming_matrix_xor",
+]
 
 
 def unpack_bits(desc: jnp.ndarray) -> jnp.ndarray:
@@ -39,17 +44,15 @@ def popcount_rows(desc: jnp.ndarray) -> jnp.ndarray:
 def hamming_matrix(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
     """All-pairs Hamming distance: [N1,8]x[N2,8] -> [N1,N2] int32.
 
-    Dispatches to the Pallas XOR+popcount tile kernel on TPU when shapes
-    are lane-aligned (measured 6x faster than the bit-matmul on v5e —
-    the unpacked [N,256] int8 planes the matmul needs are HBM-bandwidth
-    bound); otherwise uses the MXU bit-plane contraction.
+    Dispatches to the bf16 bit-matmul, which is EXACT ({0,1} planes, f32
+    accumulation, inner product <= 256) and rides the MXU natively.
+    Measured at the tracking shape (8192 x 1024, v5e, chained timing):
+    bf16 matmul ~0.03 ms vs 3.75 ms for the Pallas XOR+popcount tiles and
+    the int8 contraction at ~0.03 ms — the systolic array crushes any
+    elementwise XOR/popcount formulation for all-pairs matching
+    (scripts/tpu_hamming_experiment.py).
     """
-    n1, n2 = d1.shape[0], d2.shape[0]
-    if jax.default_backend() == "tpu" and n1 % 128 == 0 and n2 % 128 == 0:
-        from .pallas_kernels import hamming_matrix_pallas
-
-        return hamming_matrix_pallas(d1, d2)
-    return hamming_matrix_mxu(d1, d2)
+    return hamming_matrix_bf16(d1, d2)
 
 
 def hamming_matrix_mxu(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
@@ -62,6 +65,24 @@ def hamming_matrix_mxu(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
+    p1 = popcount_rows(d1)
+    p2 = popcount_rows(d2)
+    return p1[:, None] + p2[None, :] - 2 * inner
+
+
+def hamming_matrix_bf16(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
+    """bf16 bit-matmul: EXACT (bit planes are {0,1} -> exact in bf16; the
+    inner product <= 256 accumulates in f32). One native MXU pass on
+    v5e-class hardware, unlike the int8 contraction (no int MXU path) or
+    any elementwise XOR+popcount formulation."""
+    b1 = unpack_bits(d1).astype(jnp.bfloat16)
+    b2 = unpack_bits(d2).astype(jnp.bfloat16)
+    inner = jax.lax.dot_general(
+        b1,
+        b2,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
     p1 = popcount_rows(d1)
     p2 = popcount_rows(d2)
     return p1[:, None] + p2[None, :] - 2 * inner

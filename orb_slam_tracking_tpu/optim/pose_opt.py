@@ -70,9 +70,30 @@ def _residuals_jac(R, t, pts, uv, fx, fy, cx, cy):
     return r, J, z
 
 
-def _lm_rounds(R, t, pts, uv, inv_sigma2, active, fx, fy, cx, cy,
+def _robust_cost(r, inv_sigma2, active, use_huber, delta2):
+    chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+    if use_huber:
+        # robust cost: quadratic inside, linear outside
+        rho = jnp.where(
+            chi2 <= delta2, chi2, 2.0 * jnp.sqrt(delta2 * chi2) - delta2
+        )
+    else:
+        rho = chi2
+    return jnp.sum(jnp.where(active, rho, 0.0))
+
+
+def _lm_rounds(R, t, r0, J0, z0, pts, uv, inv_sigma2, active, fx, fy, cx, cy,
                iters: int, use_huber: bool, delta_scale: float = 1.0):
     """One optimization stage: `iters` LM steps over the active subset.
+
+    Speculative-accept structure: the carry holds the linearization
+    (r, J, z) AT the accepted pose, so each iteration runs exactly ONE
+    residual+Jacobian pass (at the candidate) instead of a linearize pass
+    plus a cost pass — on a rejected step the next solve reuses the carried
+    linearization with a larger lambda, which is numerically identical to
+    relinearizing at the unchanged pose. The final carry's (r, z) are the
+    residuals at the returned pose, so callers reclassify without another
+    pass.
 
     ``delta_scale`` widens the Huber threshold: a tight kernel (delta ~
     2.45 px) turns a coherent multi-pixel prediction error into a flat
@@ -82,21 +103,8 @@ def _lm_rounds(R, t, pts, uv, inv_sigma2, active, fx, fy, cx, cy,
     """
     delta2 = _CHI2_TH * delta_scale
 
-    def cost_fn(Rc, tc):
-        r, _, _ = _residuals_jac(Rc, tc, pts, uv, fx, fy, cx, cy)
-        chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
-        if use_huber:
-            # robust cost: quadratic inside, linear outside
-            rho = jnp.where(
-                chi2 <= delta2, chi2, 2.0 * jnp.sqrt(delta2 * chi2) - delta2
-            )
-        else:
-            rho = chi2
-        return jnp.sum(jnp.where(active, rho, 0.0))
-
     def step(carry, _):
-        Rc, tc, lam, nu, cost = carry
-        r, J, _ = _residuals_jac(Rc, tc, pts, uv, fx, fy, cx, cy)
+        Rc, tc, lam, nu, cost, r, J, z = carry
         chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
         w = huber_weight(chi2, delta2) if use_huber else jnp.ones_like(chi2)
         w = jnp.where(active, w * inv_sigma2, 0.0)
@@ -106,7 +114,9 @@ def _lm_rounds(R, t, pts, uv, inv_sigma2, active, fx, fy, cx, cy,
         dR, dt = se3.se3_exp(dx)
         R_new = dR @ Rc
         t_new = dR @ tc + dt
-        new_cost = cost_fn(R_new, t_new)
+        r_new, J_new, z_new = _residuals_jac(R_new, t_new, pts, uv,
+                                             fx, fy, cx, cy)
+        new_cost = _robust_cost(r_new, inv_sigma2, active, use_huber, delta2)
         # predicted decrease of the quadratic model given the damped step:
         # 0.5 * dx^T (lam * D dx - b)   (g2o's rho denominator)
         pred = 0.5 * jnp.dot(dx, lam * jnp.diagonal(H) * dx - b)
@@ -116,13 +126,18 @@ def _lm_rounds(R, t, pts, uv, inv_sigma2, active, fx, fy, cx, cy,
         Rc = jnp.where(good, R_new, Rc)
         tc = jnp.where(good, t_new, tc)
         cost = jnp.where(good, new_cost, cost)
-        return (Rc, tc, lam_new, nu_new, cost), None
+        r = jnp.where(good, r_new, r)
+        J = jnp.where(good, J_new, J)
+        z = jnp.where(good, z_new, z)
+        return (Rc, tc, lam_new, nu_new, cost, r, J, z), None
 
-    cost0 = cost_fn(R, t)
-    (R, t, _, _, cost), _ = jax.lax.scan(
-        step, (R, t, jnp.float32(1e-4), jnp.float32(2.0), cost0), None, length=iters
+    cost0 = _robust_cost(r0, inv_sigma2, active, use_huber, delta2)
+    (R, t, _, _, cost, r, J, z), _ = jax.lax.scan(
+        step,
+        (R, t, jnp.float32(1e-4), jnp.float32(2.0), cost0, r0, J0, z0),
+        None, length=iters,
     )
-    return R, t, cost
+    return R, t, cost, r, J, z
 
 
 @partial(jax.jit, static_argnames=("rounds", "iters_per_round", "coarse_delta_scale"))
@@ -150,19 +165,22 @@ def optimize_pose(
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     R, t = R0, t0
     inlier = valid
+    # one linearization up front; thereafter every LM iteration does exactly
+    # one residual+Jacobian pass, and rounds reuse the final linearization
+    # of the previous round (the pose does not move between rounds)
+    r, J, z = _residuals_jac(R, t, pts, uv, fx, fy, cx, cy)
     for rnd in range(rounds):
         use_huber = rnd < 2  # ORB-SLAM drops the robust kernel in late rounds
         # graduated kernel: wide basin first, nominal afterwards
         delta_scale = coarse_delta_scale if rnd == 0 else 1.0
-        R, t, cost = _lm_rounds(
-            R, t, pts, uv, inv_sigma2, inlier, fx, fy, cx, cy,
+        R, t, cost, r, J, z = _lm_rounds(
+            R, t, r, J, z, pts, uv, inv_sigma2, inlier, fx, fy, cx, cy,
             iters_per_round, use_huber, delta_scale,
         )
-        # reclassify against the full set each round (an outlier can return)
-        r, _, z = _residuals_jac(R, t, pts, uv, fx, fy, cx, cy)
+        # reclassify against the full set each round (an outlier can return);
+        # r/z are already the residuals at the returned pose
         chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
         inlier = valid & (chi2 <= _CHI2_TH) & (z > 0)
-    r, _, z = _residuals_jac(R, t, pts, uv, fx, fy, cx, cy)
     chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
     final_cost = jnp.sum(jnp.where(inlier, chi2, 0.0))
     return PoseOptResult(
