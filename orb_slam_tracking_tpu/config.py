@@ -247,6 +247,24 @@ class TrackerConfig:
     # observed points bound the 2D-3D search (TemplatedDatabase.h:35 query
     # -> candidates; map-wide fallback only without a vocabulary).
     reloc_bow_candidates: int = 5
+    # --- loop closing (the capability the reference vendors g2o's Sim(3)
+    # types for, types_seven_dof_expmap.h:48-152; ORB-SLAM LoopClosing) ---
+    use_loop_closing: bool = True
+    # A loop candidate must be at least this many frames older than the
+    # current keyframe (scale drift needs time; also blocks trivial
+    # self-matches the covisibility exclusion misses).
+    loop_min_frame_gap: int = 60
+    # Candidate must recur in this many consecutive keyframe insertions
+    # (ORB-SLAM mnCovisibilityConsistencyTh = 3).
+    loop_consistency_th: int = 3
+    # Minimum Sim(3) inliers to accept a loop (ORB-SLAM: 20).
+    loop_min_inliers: int = 20
+    # Covisibility edges enter the essential graph above this shared-point
+    # count (ORB-SLAM uses 100 for the covisibility tier; maps here are
+    # smaller).
+    loop_covis_edge_min_shared: int = 30
+    # LM iterations for the Sim(3) pose-graph solve.
+    pose_graph_iterations: int = 15
 
 
 @dataclasses.dataclass(frozen=True)

@@ -129,12 +129,16 @@ def quaternion_to_axis_angle(q):
     """Unit quaternion (w, x, y, z) -> axis-angle ``[..., 3]``."""
     qw = jnp.abs(q[..., 0])
     qv = jnp.where(q[..., :1] < 0, -q[..., 1:], q[..., 1:])
-    sin_half = jnp.linalg.norm(qv, axis=-1)
+    # guarded norm: sqrt at 0 has a NaN derivative, which would poison
+    # jacfwd through so3_log/sim3_log at IDENTITY rotations — exactly the
+    # zero-residual edges a pose graph linearizes at. Double-where keeps
+    # both value and tangent finite (small-branch scale is the Taylor
+    # limit of 2*asin(x)/x = 2 + x^2/3 in x^2 = |qv|^2).
+    sq = jnp.sum(qv * qv, axis=-1)
+    small = sq < 1e-12
+    sin_half = jnp.sqrt(jnp.where(small, 1.0, sq))
     theta = 2.0 * jnp.arctan2(sin_half, qw)
-    # theta / sin(theta/2), with the small-angle limit 2 + theta^2/12
-    scale = jnp.where(
-        sin_half < 1e-6, 2.0 + theta * theta / 12.0, theta / (sin_half + _EPS)
-    )
+    scale = jnp.where(small, 2.0 + sq / 3.0, theta / (sin_half + _EPS))
     return scale[..., None] * qv
 
 

@@ -1,0 +1,378 @@
+"""Loop closing: place-recognition candidates -> Sim(3) -> map correction
+-> essential-graph optimization.
+
+The host-orchestrated realization of ORB-SLAM's LoopClosing thread — the
+capability the reference vendors DBoW2 + g2o's Sim(3) types for
+(``Thirdparty/g2o/g2o/types/types_seven_dof_expmap.h:48-152``,
+``Thirdparty/DBoW2/DBoW2/TemplatedDatabase.h:35``). Stages:
+
+1. **DetectLoop** — BoW query over the keyframe database, excluding the
+   current keyframe's covisibility group and recent frames, gated by the
+   minimum covisible-neighbor score, then a *consistency* filter: the
+   candidate's covisibility group must recur across
+   ``loop_consistency_th`` consecutive keyframe insertions.
+2. **ComputeSim3** — descriptor matching between the two keyframes'
+   map-point-associated keypoints (``match_descriptors``, the SearchByBoW
+   role), then ``ransac_sim3`` on the 3D-3D pairs in the two *camera*
+   frames (``Sim3Solver``) and ``optimize_sim3`` refinement on
+   bidirectional reprojection (``Optimizer::OptimizeSim3``).
+3. **CorrectLoop** — corrected poses for the current covisibility group
+   via the relative transforms, an essential graph (temporal chain +
+   strong covisibility edges + the loop edge) solved by
+   ``optimize_pose_graph`` with the loop keyframe fixed
+   (``Optimizer::OptimizeEssentialGraph``), every map point re-anchored
+   through its reference keyframe's total correction, and poses written
+   back as SE(3) with the scale folded into the translation (``[R, t/s]``,
+   ORB-SLAM CorrectLoop).
+
+Like the tracker, this module keeps graph bookkeeping (group sets, edge
+lists) in host numpy and runs the numeric work (matching, RANSAC, Sim(3)
+LM, pose-graph LM) as jitted device programs — the pointer-graph parts of
+the reference are cheap and irregular, the solvers are where the FLOPs
+are.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bow.database import KeyframeDatabase, query
+from ..config import SystemConfig
+from ..geometry.sim3 import (
+    Sim3, optimize_sim3, ransac_sim3, sim3_apply, sim3_compose, sim3_inverse,
+)
+from ..ops.matcher import match_descriptors
+from ..optim.pose_graph import optimize_pose_graph, relative_sim3
+from .map import SlamMap
+
+__all__ = ["LoopCloser", "covisibility_matrix", "covisible_slots"]
+
+# fixed capacity for the Sim(3) correspondence arrays (compile once)
+_SIM3_CAP = 512
+
+
+def covisibility_matrix(m: SlamMap) -> np.ndarray:
+    """[Kc, Kc] shared-map-point counts between keyframe snapshots (the
+    covisibility graph's edge weights). One bool matmul on host — the
+    per-pair set intersections of the reference's pointer graph."""
+    kf_kp_pt = np.asarray(m.kf_kp_pt)
+    kf_valid = np.asarray(m.kf_valid)
+    pt_valid = np.asarray(m.pt_valid)
+    Kc, P = kf_kp_pt.shape[0], m.point_capacity
+    obs = np.zeros((Kc, P), bool)
+    rows = np.repeat(np.arange(Kc), kf_kp_pt.shape[1])
+    cols = kf_kp_pt.reshape(-1)
+    ok = cols >= 0
+    obs[rows[ok], cols[ok]] = True
+    obs &= pt_valid[None, :]
+    obs[~kf_valid] = False
+    shared = (obs.astype(np.int32) @ obs.astype(np.int32).T)
+    np.fill_diagonal(shared, 0)
+    return shared
+
+
+def covisible_slots(m: SlamMap, slot: int, min_shared: int) -> np.ndarray:
+    shared = covisibility_matrix(m)[slot]
+    return np.where(shared >= min_shared)[0]
+
+
+class LoopCloser:
+    """Per-map loop-closing state machine; call :meth:`on_keyframe` after
+    every keyframe insertion."""
+
+    def __init__(self, cfg: SystemConfig, K: np.ndarray):
+        self.cfg = cfg
+        self.K = jnp.asarray(K, jnp.float32)
+        # consistency groups: (covisibility group of a candidate, streak)
+        self._groups: List[Tuple[Set[int], int]] = []
+        self._key_counter = 0
+        self.last_closed_frame_id = -(10 ** 9)
+
+    # ------------------------------------------------------------------
+    # stage 1: DetectLoop
+    # ------------------------------------------------------------------
+    def detect(self, m: SlamMap, kf_db: KeyframeDatabase,
+               slot: int) -> Optional[int]:
+        tcfg = self.cfg.tracker
+        kf_valid = np.asarray(m.kf_valid)
+        frame_ids = np.asarray(m.kf_frame_id)
+        cur_fid = int(frame_ids[slot])
+
+        shared = covisibility_matrix(m)
+        neighbors = np.where(shared[slot] >= tcfg.covis_min_shared)[0]
+
+        scores = np.asarray(query(kf_db, kf_db.bow[slot]))
+        # minimum acceptance score: the worst covisible neighbor
+        # (ORB-SLAM DetectLoop's minScore)
+        min_score = float(scores[neighbors].min()) if len(neighbors) else 0.0
+
+        mask = kf_valid.copy()
+        mask[slot] = False
+        mask[neighbors] = False
+        mask &= (cur_fid - frame_ids) >= tcfg.loop_min_frame_gap
+        cand_slots = np.where(mask & np.isfinite(scores)
+                              & (scores >= min_score))[0]
+
+        # consistency across consecutive keyframes: a candidate's
+        # covisibility group must intersect a group seen last time
+        new_groups: List[Tuple[Set[int], int]] = []
+        accepted: List[Tuple[float, int]] = []
+        for c in cand_slots:
+            group = set(np.where(shared[c] >= tcfg.covis_min_shared)[0])
+            group.add(int(c))
+            streak = 1
+            for prev_group, prev_streak in self._groups:
+                if group & prev_group:
+                    streak = prev_streak + 1
+                    break
+            new_groups.append((group, streak))
+            if streak >= tcfg.loop_consistency_th:
+                accepted.append((float(scores[c]), int(c)))
+        self._groups = new_groups
+        if not accepted:
+            return None
+        return max(accepted)[1]
+
+    # ------------------------------------------------------------------
+    # stage 2: ComputeSim3
+    # ------------------------------------------------------------------
+    def compute_sim3(self, m: SlamMap, cur: int,
+                     cand: int) -> Optional[Tuple[Sim3, int]]:
+        """Scm: candidate-camera -> current-camera similarity, or None."""
+        tcfg = self.cfg.tracker
+        kf_kp_pt = np.asarray(m.kf_kp_pt)
+        pt_valid = np.asarray(m.pt_valid)
+
+        def _kp_valid(k):
+            a = kf_kp_pt[k]
+            return (np.asarray(m.kf_kp_valid[k]) & (a >= 0)
+                    & pt_valid[np.clip(a, 0, m.point_capacity - 1)])
+
+        v_cur = _kp_valid(cur)
+        v_cand = _kp_valid(cand)
+        matches = np.asarray(match_descriptors(
+            m.kf_kp_desc[cur], jnp.asarray(v_cur),
+            m.kf_kp_desc[cand], jnp.asarray(v_cand),
+        ))
+        i1 = np.where(matches >= 0)[0]
+        if len(i1) < 3:
+            return None
+        i2 = matches[i1]
+        p1 = kf_kp_pt[cur][i1]
+        p2 = kf_kp_pt[cand][i2]
+
+        pts = np.asarray(m.pts)
+        R1, t1 = np.asarray(m.kf_R[cur]), np.asarray(m.kf_t[cur])
+        R2, t2 = np.asarray(m.kf_R[cand]), np.asarray(m.kf_t[cand])
+        x1 = pts[p1] @ R1.T + t1           # current-camera coords
+        x2 = pts[p2] @ R2.T + t2           # candidate-camera coords
+        uv1 = np.asarray(m.kf_kp_xy[cur])[i1]
+        uv2 = np.asarray(m.kf_kp_xy[cand])[i2]
+
+        n = min(len(i1), _SIM3_CAP)
+        X1 = np.zeros((_SIM3_CAP, 3), np.float32)
+        X2 = np.zeros((_SIM3_CAP, 3), np.float32)
+        U1 = np.zeros((_SIM3_CAP, 2), np.float32)
+        U2 = np.zeros((_SIM3_CAP, 2), np.float32)
+        V = np.zeros(_SIM3_CAP, bool)
+        X1[:n], X2[:n], U1[:n], U2[:n], V[:n] = (
+            x1[:n], x2[:n], uv1[:n], uv2[:n], True)
+
+        # metric RANSAC gate scaled to the scene (the reference gates by
+        # reprojection chi2 inside Sim3Solver; a relative 3D gate is the
+        # scale-free analog)
+        tol = 0.05 * float(np.median(np.linalg.norm(x1[:n], axis=-1)) + 1e-6)
+        self._key_counter += 1
+        res = ransac_sim3(
+            jnp.asarray(X1), jnp.asarray(X2), jnp.asarray(V),
+            jax.random.PRNGKey(self._key_counter), tol=tol,
+            min_inliers=min(tcfg.loop_min_inliers, 6),
+        )
+        if not bool(res.ok):
+            return None
+        g, inl = optimize_sim3(
+            res.g, jnp.asarray(X1), jnp.asarray(X2),
+            jnp.asarray(U1), jnp.asarray(U2), self.K,
+            res.inliers & jnp.asarray(V),
+        )
+        n_inl = int(jnp.sum(inl.astype(jnp.int32)))
+        if n_inl < tcfg.loop_min_inliers:
+            return None
+        return Sim3(s=g.s, R=g.R, t=g.t), n_inl
+
+    # ------------------------------------------------------------------
+    # stage 3: CorrectLoop
+    # ------------------------------------------------------------------
+    def correct(self, m: SlamMap, cur: int, cand: int,
+                Scm: Sim3) -> Tuple[SlamMap, dict]:
+        tcfg = self.cfg.tracker
+        Kc = m.kf_capacity
+        kf_valid = np.asarray(m.kf_valid)
+        frame_ids = np.asarray(m.kf_frame_id)
+        R_all = np.asarray(m.kf_R)
+        t_all = np.asarray(m.kf_t)
+
+        ones = jnp.ones(Kc, jnp.float32)
+        # pre-correction vertices (scale-1 similarities)
+        S_pre = Sim3(s=ones, R=jnp.asarray(R_all), t=jnp.asarray(t_all))
+
+        # corrected current pose: Scw' = Scm o Smw  (ORB-SLAM mScw)
+        S_mw = Sim3(s=jnp.float32(1.0), R=jnp.asarray(R_all[cand]),
+                    t=jnp.asarray(t_all[cand]))
+        S_cw_corr = sim3_compose(Scm, S_mw)
+        S_cw_old = Sim3(s=jnp.float32(1.0), R=jnp.asarray(R_all[cur]),
+                        t=jnp.asarray(t_all[cur]))
+        inv_cw_old = sim3_inverse(S_cw_old)
+
+        group = set(covisible_slots(m, cur, tcfg.covis_min_shared).tolist())
+        group.add(cur)
+        group = {g for g in group if kf_valid[g]}
+
+        # vertex init: pre-correction everywhere, corrected for the group
+        s_init = np.ones(Kc, np.float32)
+        R_init = R_all.copy()
+        t_init = t_all.copy()
+        for g_slot in sorted(group):
+            S_iw = Sim3(s=jnp.float32(1.0), R=jnp.asarray(R_all[g_slot]),
+                        t=jnp.asarray(t_all[g_slot]))
+            S_ic = sim3_compose(S_iw, inv_cw_old)
+            S_corr = sim3_compose(S_ic, S_cw_corr)
+            s_init[g_slot] = float(S_corr.s)
+            R_init[g_slot] = np.asarray(S_corr.R)
+            t_init[g_slot] = np.asarray(S_corr.t)
+        S_init = Sim3(s=jnp.asarray(s_init), R=jnp.asarray(R_init),
+                      t=jnp.asarray(t_init))
+
+        # ---- essential graph edges ----
+        shared = covisibility_matrix(m)
+        order = [int(k) for k in np.argsort(frame_ids) if kf_valid[k]]
+        ei: List[int] = []
+        ej: List[int] = []
+        # temporal chain (spanning-tree stand-in: each KF to its
+        # predecessor in insertion order)
+        for a, b in zip(order[1:], order[:-1]):
+            ei.append(a)
+            ej.append(b)
+        # strong covisibility edges
+        ii, jj = np.where(np.triu(shared, 1) >= tcfg.loop_covis_edge_min_shared)
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            if kf_valid[a] and kf_valid[b] and abs(
+                    int(frame_ids[a]) - int(frame_ids[b])) > 1:
+                ei.append(int(a))
+                ej.append(int(b))
+        # the loop edge, measured by the Sim(3) solver
+        ei.append(cur)
+        ej.append(cand)
+
+        E = len(ei)
+        eia = np.asarray(ei, np.int32)
+        eja = np.asarray(ej, np.int32)
+        meas = relative_sim3(
+            Sim3(s=S_pre.s[eia], R=S_pre.R[eia], t=S_pre.t[eia]),
+            Sim3(s=S_pre.s[eja], R=S_pre.R[eja], t=S_pre.t[eja]),
+        )
+        meas = Sim3(                       # overwrite the loop edge
+            s=meas.s.at[E - 1].set(Scm.s),
+            R=meas.R.at[E - 1].set(Scm.R),
+            t=meas.t.at[E - 1].set(Scm.t),
+        )
+        # pad the edge list to a power-of-two bucket (bounded recompiles)
+        cap = 1 << int(np.ceil(np.log2(max(E, 8))))
+        pad = cap - E
+        eia = np.concatenate([eia, np.zeros(pad, np.int32)])
+        eja = np.concatenate([eja, np.zeros(pad, np.int32)])
+        meas = Sim3(
+            s=jnp.concatenate([meas.s, jnp.ones(pad)]),
+            R=jnp.concatenate([meas.R,
+                               jnp.broadcast_to(jnp.eye(3), (pad, 3, 3))]),
+            t=jnp.concatenate([meas.t, jnp.zeros((pad, 3))]),
+        )
+        e_w = jnp.concatenate([jnp.ones(E), jnp.zeros(pad)]).astype(jnp.float32)
+
+        fixed = np.zeros(Kc, bool)
+        fixed[cand] = True
+        res = optimize_pose_graph(
+            S_init, jnp.asarray(kf_valid), jnp.asarray(fixed),
+            jnp.asarray(eia), jnp.asarray(eja), meas, e_w,
+            iterations=tcfg.pose_graph_iterations,
+        )
+        S_opt = res.vertices
+
+        # ---- write back: poses as [R, t/s]; points re-anchored through
+        # their reference keyframe's total correction S_opt^-1 o S_pre ----
+        s_opt = np.asarray(S_opt.s)
+        R_opt = np.asarray(S_opt.R)
+        t_opt = np.asarray(S_opt.t)
+        new_R = np.where(kf_valid[:, None, None], R_opt, R_all)
+        new_t = np.where(kf_valid[:, None],
+                         t_opt / np.maximum(s_opt[:, None], 1e-12), t_all)
+
+        # reference keyframe per point: the valid observation with the
+        # smallest frame id (the first observer, MapPoint::mpRefKF's role)
+        obs_kf = np.asarray(m.obs_kf)
+        obs_pt = np.asarray(m.obs_pt)
+        obs_ok = (np.asarray(m.obs_valid) & kf_valid[obs_kf]
+                  & np.asarray(m.pt_valid)[obs_pt])
+        P = m.point_capacity
+        big = np.int64(1 << 60)
+        keyed = np.where(obs_ok, frame_ids[obs_kf].astype(np.int64) * P
+                         + obs_kf.astype(np.int64), big)
+        ref_key = np.full(P, big, np.int64)
+        np.minimum.at(ref_key, obs_pt, keyed)
+        has_ref = ref_key < big
+        ref_kf = (ref_key % P).astype(np.int32)
+        ref_kf[~has_ref] = 0
+
+        # Points were NOT manually pre-corrected, so every point's current
+        # world coordinates are consistent with S_pre of its reference
+        # keyframe; the total correction is therefore S_opt^-1 o S_pre
+        # uniformly (the manual group correction is already inside S_init
+        # and hence inside S_opt — see module docstring).
+        ref_idx = jnp.asarray(ref_kf)
+        corr = sim3_compose(
+            sim3_inverse(Sim3(s=S_opt.s[ref_idx], R=S_opt.R[ref_idx],
+                              t=S_opt.t[ref_idx])),
+            Sim3(s=S_pre.s[ref_idx], R=S_pre.R[ref_idx],
+                 t=S_pre.t[ref_idx]),
+        )
+        moved = sim3_apply(corr, m.pts)
+        do_move = jnp.asarray(has_ref) & m.pt_valid
+        new_pts = jnp.where(do_move[:, None], moved, m.pts)
+
+        m = m._replace(
+            kf_R=jnp.asarray(new_R.astype(np.float32)),
+            kf_t=jnp.asarray(new_t.astype(np.float32)),
+            pts=new_pts,
+        )
+        self._groups.clear()
+        self.last_closed_frame_id = int(frame_ids[cur])
+        return m, {
+            "loop_edges": E,
+            "loop_cost0": float(res.cost0),
+            "loop_cost": float(res.cost),
+        }
+
+    # ------------------------------------------------------------------
+    def on_keyframe(self, m: SlamMap, kf_db: KeyframeDatabase,
+                    slot: int) -> Tuple[SlamMap, dict]:
+        """Full pipeline; returns the (possibly corrected) map + metrics."""
+        tcfg = self.cfg.tracker
+        cur_fid = int(np.asarray(m.kf_frame_id)[slot])
+        if cur_fid - self.last_closed_frame_id < tcfg.loop_min_frame_gap:
+            return m, {"loop": "cooldown"}
+        cand = self.detect(m, kf_db, slot)
+        if cand is None:
+            return m, {"loop": "no candidate"}
+        sim3 = self.compute_sim3(m, slot, cand)
+        if sim3 is None:
+            return m, {"loop": f"candidate {cand} rejected by Sim(3)"}
+        Scm, n_inl = sim3
+        m, info = self.correct(m, slot, cand, Scm)
+        info.update({"loop": f"closed with kf {cand}",
+                     "loop_inliers": n_inl,
+                     "loop_scale": float(Scm.s)})
+        return m, info

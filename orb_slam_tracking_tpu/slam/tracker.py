@@ -122,6 +122,7 @@ class Tracker:
         self._key = jax.random.PRNGKey(0)
         self.vocab = None                           # trained at map init
         self.kf_db = None                           # BoW keyframe database
+        self.loop_closer = None                     # created on first KF
 
     # ------------------------------------------------------------------
     def track(self, image, timestamp: float) -> dict:
@@ -483,6 +484,26 @@ class Tracker:
         self._refresh_viewing_stats()
 
         self._bow_add(slot, kps)
+
+        # --- loop closing (LoopClosing thread slice: BoW candidates ->
+        # Sim(3) -> essential-graph correction; slam/loop_closing.py) ---
+        if self.cfg.tracker.use_loop_closing and self.kf_db is not None:
+            if self.loop_closer is None:
+                from .loop_closing import LoopCloser
+
+                self.loop_closer = LoopCloser(self.cfg, np.asarray(self.K))
+            self.map, loop_info = self.loop_closer.on_keyframe(
+                self.map, self.kf_db, slot)
+            out.update(loop_info)
+            if str(loop_info.get("loop", "")).startswith("closed"):
+                # resync the live pose to the corrected keyframe and reset
+                # the motion model (ORB-SLAM CorrectLoop does the same)
+                self.R = np.asarray(self.map.kf_R[slot]).copy()
+                self.t = np.asarray(self.map.kf_t[slot]).copy()
+                self.vel_R = np.eye(3, dtype=np.float32)
+                self.vel_t = np.zeros(3, dtype=np.float32)
+                self._refresh_viewing_stats()
+
         self.n_kf = int(np.asarray(self.map.kf_valid).sum())
         self.frames_since_kf = 0
         self.kf_ref_inliers = int(n_add) + new_n
