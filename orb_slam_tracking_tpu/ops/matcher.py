@@ -38,7 +38,10 @@ __all__ = [
     "search_for_triangulation",
 ]
 
-_BIG = jnp.int32(1 << 20)
+# plain int, NOT jnp.int32: a module-level jnp constant would initialize
+# the XLA backend at import time, which breaks multi-process workers that
+# must call jax.distributed.initialize() first (parallel/distributed.py)
+_BIG = 1 << 20
 
 
 class MatchResult(NamedTuple):

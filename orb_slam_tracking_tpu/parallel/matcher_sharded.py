@@ -35,8 +35,10 @@ from ..ops.hamming import hamming_matrix_bf16
 __all__ = ["make_tp_mesh", "match_descriptors_tp"]
 
 # masked-distance sentinel; merge keys are dist * P + idx in int32, so
-# (BIG + 1) * P must stay under 2^31 (asserted in match_descriptors_tp)
-_BIG = jnp.int32(1 << 15)
+# (BIG + 1) * P must stay under 2^31 (asserted in match_descriptors_tp).
+# Plain int, NOT jnp.int32: a module-level jnp constant would initialize
+# the XLA backend at import time, breaking jax.distributed workers.
+_BIG = 1 << 15
 
 
 def make_tp_mesh(devices=None, axis: str = "tp") -> Mesh:
