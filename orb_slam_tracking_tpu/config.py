@@ -265,6 +265,13 @@ class TrackerConfig:
     loop_covis_edge_min_shared: int = 30
     # LM iterations for the Sim(3) pose-graph solve.
     pose_graph_iterations: int = 15
+    # SearchAndFuse: pixel radius for projecting loop map points into the
+    # current covisibility group's keyframes (corrected poses).
+    loop_fuse_radius_px: float = 8.0
+    # LM iterations for the global bundle adjustment that follows a loop
+    # correction (ORB-SLAM RunGlobalBundleAdjustment; 0 disables). All
+    # keyframes are free except the oldest (the gauge anchor).
+    loop_global_ba_iterations: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

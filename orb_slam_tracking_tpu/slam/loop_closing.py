@@ -43,7 +43,7 @@ import numpy as np
 from ..bow.database import KeyframeDatabase, query
 from ..config import SystemConfig
 from ..geometry.sim3 import (
-    Sim3, optimize_sim3, ransac_sim3, sim3_apply, sim3_compose, sim3_inverse,
+    Sim3, optimize_sim3, ransac_sim3, sim3_compose, sim3_inverse,
 )
 from ..ops.matcher import match_descriptors
 from ..optim.pose_graph import optimize_pose_graph, relative_sim3
@@ -205,6 +205,116 @@ class LoopCloser:
         return Sim3(s=g.s, R=g.R, t=g.t), n_inl
 
     # ------------------------------------------------------------------
+    # SearchAndFuse
+    # ------------------------------------------------------------------
+    def fuse_loop_points(self, m: SlamMap, group: Set[int], cand: int,
+                         R_corr: np.ndarray, t_corr: np.ndarray,
+                         s_corr: np.ndarray) -> Tuple[SlamMap, int]:
+        """Merge the current group's duplicate map points into the loop
+        side's originals (``LoopClosing::SearchAndFuse`` /
+        ``ORBmatcher::Fuse``).
+
+        The loop side's points (observed by ``cand`` and its covisibility
+        group) are projected into each keyframe of the current group with
+        its CORRECTED pose; a projected point that lands within
+        ``loop_fuse_radius_px`` of a keypoint whose descriptor is within
+        TH_LOW replaces that keypoint's currently associated point
+        everywhere (observations, snapshot associations, validity,
+        observation counts). Replacement is the loop-binding operation —
+        afterwards both sides of the loop observe the SAME points, so
+        bundle adjustment preserves the closure instead of undoing it.
+
+        Host-side orchestration over a handful of keyframes; the [L, N]
+        descriptor-distance blocks ride the device bit-matmul
+        (descriptor capacity is padded so the program compiles once).
+        """
+        from ..ops.hamming import hamming_matrix
+
+        tcfg = self.cfg.tracker
+        P = m.point_capacity
+        pt_valid = np.asarray(m.pt_valid)
+        obs_kf = np.asarray(m.obs_kf)
+        obs_pt = np.asarray(m.obs_pt)
+        obs_ok = np.asarray(m.obs_valid)
+
+        # loop map points: everything the candidate side observes
+        cand_group = set(
+            covisible_slots(m, cand, tcfg.covis_min_shared).tolist())
+        cand_group.add(cand)
+        in_cand = obs_ok & np.isin(obs_kf, sorted(cand_group))
+        loop_mask = np.zeros(P, bool)
+        loop_mask[obs_pt[in_cand]] = True
+        loop_mask &= pt_valid
+        loop_idx = np.where(loop_mask)[0]
+        L = len(loop_idx)
+        if L == 0:
+            return m, 0
+
+        # pad the loop-point axis to a power-of-two bucket so the device
+        # Hamming program compiles a bounded number of times
+        Lcap = 1 << int(np.ceil(np.log2(max(L, 64))))
+        pdesc = np.zeros((Lcap, 8), np.uint32)
+        pdesc[:L] = np.asarray(m.desc)[loop_idx]
+        pdesc_dev = jnp.asarray(pdesc)
+
+        K = np.asarray(self.K)
+        fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+        pts = np.asarray(m.pts)[loop_idx]
+        r2 = float(tcfg.loop_fuse_radius_px) ** 2
+
+        merges: dict = {}   # duplicate slot -> loop slot
+        for k in sorted(group):
+            # corrected SE(3) projection: s(RX) + t  ∝  RX + t/s
+            xc = pts @ R_corr[k].T + (t_corr[k] / max(s_corr[k], 1e-12))
+            z = xc[:, 2]
+            ok = z > 1e-6
+            zs = np.where(ok, z, 1.0)
+            u = fx * xc[:, 0] / zs + cx
+            v = fy * xc[:, 1] / zs + cy
+            kp_xy = np.asarray(m.kf_kp_xy[k])
+            kp_ok = np.asarray(m.kf_kp_valid[k])
+            kp_pt_k = np.asarray(m.kf_kp_pt[k])
+            D = np.asarray(hamming_matrix(
+                pdesc_dev, m.kf_kp_desc[k]))[:L]          # [L, N]
+            du = u[:, None] - kp_xy[None, :, 0]
+            dv = v[:, None] - kp_xy[None, :, 1]
+            good = ((du * du + dv * dv <= r2) & kp_ok[None, :]
+                    & ok[:, None] & (D <= 50))
+            Dm = np.where(good, D, 999)
+            j_best = Dm.argmin(axis=1)
+            d_best = Dm.min(axis=1)
+            for li in np.where(d_best <= 50)[0]:
+                p = int(loop_idx[li])
+                q = int(kp_pt_k[j_best[li]])
+                # only REPLACE existing associations; a keypoint with no
+                # point is left alone (association without triangulated
+                # support adds nothing the essential graph needs)
+                if q >= 0 and q != p and not loop_mask[q]:
+                    merges[q] = p
+
+        if not merges:
+            return m, 0
+
+        remap = np.arange(P, dtype=np.int64)
+        for q, p in merges.items():
+            remap[q] = p
+        kfkp = np.asarray(m.kf_kp_pt)
+        kfkp_new = np.where(kfkp >= 0, remap[np.clip(kfkp, 0, P - 1)],
+                            kfkp).astype(kfkp.dtype)
+        n_obs = np.asarray(m.n_obs).copy()
+        new_valid = pt_valid.copy()
+        for q, p in merges.items():
+            n_obs[p] += n_obs[q]
+            n_obs[q] = 0
+            new_valid[q] = False
+        return m._replace(
+            obs_pt=jnp.asarray(remap[obs_pt].astype(obs_pt.dtype)),
+            kf_kp_pt=jnp.asarray(kfkp_new),
+            pt_valid=jnp.asarray(new_valid),
+            n_obs=jnp.asarray(n_obs),
+        ), len(merges)
+
+    # ------------------------------------------------------------------
     # stage 3: CorrectLoop
     # ------------------------------------------------------------------
     def correct(self, m: SlamMap, cur: int, cand: int,
@@ -247,8 +357,24 @@ class LoopCloser:
         S_init = Sim3(s=jnp.asarray(s_init), R=jnp.asarray(R_init),
                       t=jnp.asarray(t_init))
 
+        # covisibility BEFORE fusion: these pairs' relatives encode
+        # odometry and must be measured from the PRE-correction poses
+        # (ORB-SLAM's NonCorrectedSim3), or the correction could not
+        # redistribute along the chain
+        shared_pre = covisibility_matrix(m)
+
+        # ---- SearchAndFuse (LoopClosing::SearchAndFuse): project the
+        # loop side's map points into the current group's keyframes under
+        # the CORRECTED poses and merge duplicates. This is what ties the
+        # two sides of the loop together with shared observations — the
+        # essential graph gets its loop-connection covisibility edges
+        # from it, and without it the later global BA would relax the
+        # map right back to the drift-consistent configuration. ----
+        m, n_fused = self.fuse_loop_points(
+            m, group, cand, R_init, t_init, s_init)
+
         # ---- essential graph edges ----
-        shared = covisibility_matrix(m)
+        th_cov = tcfg.loop_covis_edge_min_shared
         order = [int(k) for k in np.argsort(frame_ids) if kf_valid[k]]
         ei: List[int] = []
         ej: List[int] = []
@@ -257,23 +383,48 @@ class LoopCloser:
         for a, b in zip(order[1:], order[:-1]):
             ei.append(a)
             ej.append(b)
-        # strong covisibility edges
-        ii, jj = np.where(np.triu(shared, 1) >= tcfg.loop_covis_edge_min_shared)
+        # strong pre-existing covisibility edges (odometry class)
+        ii, jj = np.where(np.triu(shared_pre, 1) >= th_cov)
         for a, b in zip(ii.tolist(), jj.tolist()):
             if kf_valid[a] and kf_valid[b] and abs(
                     int(frame_ids[a]) - int(frame_ids[b])) > 1:
                 ei.append(int(a))
                 ej.append(int(b))
-        # the loop edge, measured by the Sim(3) solver
+        E_odo = len(ei)
+        # NEW covisibility created by the fuse = ORB-SLAM's
+        # LoopConnections: measured from the HYBRID pose set S_init
+        # (corrected for the current group, pre-correction elsewhere —
+        # the CorrectedSim3/NonCorrectedSim3 split of
+        # Optimizer::OptimizeEssentialGraph), so each of these edges
+        # encodes the CLOSURE rather than re-injecting drift
+        shared_post = covisibility_matrix(m)
+        ii, jj = np.where(np.triu(shared_post, 1) >= th_cov)
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            if (shared_pre[a, b] < th_cov and kf_valid[a] and kf_valid[b]
+                    and not (a == cur and b == cand)
+                    and not (a == cand and b == cur)):
+                ei.append(int(a))
+                ej.append(int(b))
+        # the loop edge itself, measured by the Sim(3) solver
         ei.append(cur)
         ej.append(cand)
 
         E = len(ei)
         eia = np.asarray(ei, np.int32)
         eja = np.asarray(ej, np.int32)
-        meas = relative_sim3(
+        meas_pre = relative_sim3(
             Sim3(s=S_pre.s[eia], R=S_pre.R[eia], t=S_pre.t[eia]),
             Sim3(s=S_pre.s[eja], R=S_pre.R[eja], t=S_pre.t[eja]),
+        )
+        meas_cor = relative_sim3(
+            Sim3(s=S_init.s[eia], R=S_init.R[eia], t=S_init.t[eia]),
+            Sim3(s=S_init.s[eja], R=S_init.R[eja], t=S_init.t[eja]),
+        )
+        is_closure = jnp.asarray(np.arange(E) >= E_odo)
+        meas = Sim3(
+            s=jnp.where(is_closure, meas_cor.s, meas_pre.s),
+            R=jnp.where(is_closure[:, None, None], meas_cor.R, meas_pre.R),
+            t=jnp.where(is_closure[:, None], meas_cor.t, meas_pre.t),
         )
         meas = Sim3(                       # overwrite the loop edge
             s=meas.s.at[E - 1].set(Scm.s),
@@ -339,7 +490,11 @@ class LoopCloser:
             Sim3(s=S_pre.s[ref_idx], R=S_pre.R[ref_idx],
                  t=S_pre.t[ref_idx]),
         )
-        moved = sim3_apply(corr, m.pts)
+        # per-point transform: point p moves by ITS OWN corr_p (not
+        # sim3_apply, whose [..., N, 3] contract would broadcast every
+        # transform against every point)
+        moved = (corr.s[:, None]
+                 * jnp.einsum("pij,pj->pi", corr.R, m.pts) + corr.t)
         do_move = jnp.asarray(has_ref) & m.pt_valid
         new_pts = jnp.where(do_move[:, None], moved, m.pts)
 
@@ -352,6 +507,7 @@ class LoopCloser:
         self.last_closed_frame_id = int(frame_ids[cur])
         return m, {
             "loop_edges": E,
+            "loop_fused": n_fused,
             "loop_cost0": float(res.cost0),
             "loop_cost": float(res.cost),
         }
@@ -375,4 +531,41 @@ class LoopCloser:
         info.update({"loop": f"closed with kf {cand}",
                      "loop_inliers": n_inl,
                      "loop_scale": float(Scm.s)})
+        if tcfg.loop_global_ba_iterations > 0:
+            m, gba = self.global_ba(m)
+            info.update(gba)
         return m, info
+
+    # ------------------------------------------------------------------
+    def global_ba(self, m: SlamMap) -> Tuple[SlamMap, dict]:
+        """Full-map bundle adjustment after a loop correction — ORB-SLAM's
+        ``RunGlobalBundleAdjustment`` (``LoopClosing.cc``), which polishes
+        the essential-graph solution jointly over every keyframe and map
+        point. All valid keyframes are free except the oldest (the gauge
+        anchor, ORB-SLAM fixes keyframe id 0); ``max_free_cams=None``
+        materializes the Schur coupling over the whole keyframe axis,
+        which at these capacities is tens of MB and rides the MXU.
+        """
+        from ..optim.ba import bundle_adjust
+        from .map import apply_ba_result
+
+        tcfg = self.cfg.tracker
+        kf_valid = np.asarray(m.kf_valid)
+        fids = np.asarray(m.kf_frame_id)
+        fixed = ~kf_valid
+        vs = np.where(kf_valid)[0]
+        if len(vs) == 0:
+            return m, {}
+        fixed[vs[np.argmin(fids[vs])]] = True
+        res = bundle_adjust(
+            m.kf_R, m.kf_t, m.pts,
+            m.obs_kf, m.obs_pt, m.obs_uv, m.obs_inv_sigma2, m.obs_valid,
+            jnp.asarray(fixed), m.pt_valid, self.K,
+            iterations=tcfg.loop_global_ba_iterations,
+            max_free_cams=None,
+        )
+        return apply_ba_result(m, res), {
+            "gba_cost0": float(res.cost0),
+            "gba_cost": float(res.cost),
+            "gba_inlier_obs": int(res.obs_inlier.sum()),
+        }

@@ -37,7 +37,7 @@ from ..config import TrackerConfig
 
 __all__ = [
     "SlamMap", "empty_map", "free_slots", "update_normal_and_depth",
-    "OBS_PER_KF",
+    "apply_ba_result", "OBS_PER_KF",
 ]
 
 # observation-list capacity per keyframe slot
@@ -146,6 +146,26 @@ def update_normal_and_depth(m: SlamMap, scale_factor: float,
         pt_normal=jnp.where(has[:, None], normal, m.pt_normal),
         pt_dmin=jnp.where(has, dmin, m.pt_dmin),
         pt_dmax=jnp.where(has, dmax, m.pt_dmax),
+    )
+
+
+def apply_ba_result(m: SlamMap, res) -> SlamMap:
+    """Adopt a ``bundle_adjust`` result into the map: refined poses and
+    points, plus the outlier lifecycle (``Frame.hpp:91-93``'s "marked as
+    outliers after BA"): observations reclassified as outliers are
+    invalidated, per-point observation counts drop with the pruned rows,
+    and the keyframe snapshots' keypoint->point associations are severed
+    so the slots can be re-associated later.
+    """
+    pruned = m.obs_valid & ~res.obs_inlier
+    sever = jnp.zeros(m.kf_kp_pt.shape, jnp.int32).at[
+        m.obs_kf, m.obs_kp
+    ].add(pruned.astype(jnp.int32)) > 0
+    return m._replace(
+        kf_R=res.kf_R, kf_t=res.kf_t, pts=res.pts,
+        obs_valid=m.obs_valid & res.obs_inlier,
+        n_obs=m.n_obs.at[m.obs_pt].add(-pruned.astype(jnp.int32)),
+        kf_kp_pt=jnp.where(sever, -1, m.kf_kp_pt),
     )
 
 

@@ -908,21 +908,11 @@ class Tracker:
             iterations=cfg.tracker.ba_iterations,
             max_free_cams=window,
         )
-        # prune observations reclassified as outliers, keeping the
-        # bookkeeping consistent: per-point observation counts drop with
-        # the pruned rows and the keyframe snapshots' keypoint->point
-        # associations are severed (Frame.hpp:91-93's "marked as outliers
-        # after BA" lifecycle, completed)
-        pruned = m.obs_valid & ~res.obs_inlier
-        sever = jnp.zeros(m.kf_kp_pt.shape, jnp.int32).at[
-            m.obs_kf, m.obs_kp
-        ].add(pruned.astype(jnp.int32)) > 0
-        self.map = m._replace(
-            kf_R=res.kf_R, kf_t=res.kf_t, pts=res.pts,
-            obs_valid=m.obs_valid & res.obs_inlier,
-            n_obs=m.n_obs.at[m.obs_pt].add(-pruned.astype(jnp.int32)),
-            kf_kp_pt=jnp.where(sever, -1, m.kf_kp_pt),
-        )
+        # adopt poses/points and prune observations reclassified as
+        # outliers (Frame.hpp:91-93's lifecycle; slam.map.apply_ba_result)
+        from .map import apply_ba_result
+
+        self.map = apply_ba_result(m, res)
         # adopt the refined pose of the newest keyframe as the current pose
         self.R = np.asarray(res.kf_R[newest_slot])
         self.t = np.asarray(res.kf_t[newest_slot])
