@@ -30,7 +30,7 @@ from ..optim.pose_opt import optimize_pose
 
 __all__ = [
     "MultiseqResult", "make_multiseq_step", "make_dp_mesh",
-    "make_multiseq_sequence_runner",
+    "make_multiseq_sequence_runner", "make_multiseq_init_runner",
 ]
 
 
@@ -164,5 +164,201 @@ def make_multiseq_sequence_runner(
             images, map_pts, map_desc, map_valid, R0, t0, K
         )
         return {"R": Rs, "t": ts, "n_inliers": n_inl, "n_matches": n_m}
+
+    return run
+
+
+def make_multiseq_init_runner(
+    mesh: Mesh,
+    cam_cfg,
+    orb_cfg: OrbConfig,
+    matcher_cfg: MatcherConfig,
+    tracker_cfg,
+    init_cfg,
+    point_capacity: int = 512,
+):
+    """Device-side BOOTSTRAP: sequences initialize themselves inside one
+    jitted SPMD scan — no host round trips and no pre-built map.
+
+    Per frame each sequence runs the reference's NOT_INITIALIZED /
+    INITIALIZING / WORKING state machine (``tracking.hpp:58-65``,
+    ``tracking.cpp:63-119``) entirely on device:
+
+      state 0: >=100 keypoints seed the reference frame;
+      state 1: ``search_for_initialization`` against the reference,
+        re-seed on a match collapse (``tracking.cpp:103-110``), else
+        batched H/F RANSAC (``initialize_two_view``) — on success the
+        triangulated points are median-depth-normalized and scattered
+        into the per-sequence map (CreateInitialMapMonocular's
+        convention; the reference frame's camera becomes the world);
+      state 2: the fused two-stage track step against the carried map.
+
+    Under vmap the state branches lower to selects (every sequence pays
+    matcher + RANSAC + track every frame), so this runner is meant for a
+    BOUNDED init prefix of the stream: run it for the first T_init
+    frames, then hand the returned maps/poses to the lean
+    ``make_multiseq_sequence_runner`` for the steady state.
+
+    Returned signature:
+      run(images [B,T,H,W], K [3,3], keys [B,2] uint32)
+      -> dict: initialized [B] bool, init_frame [B] int32 (-1 if never),
+         map_pts [B,P,3], map_desc [B,P,8], map_valid [B,P],
+         R [B,T,3,3], t [B,T,3] (identity until initialization; the
+         world frame is the reference camera), state [B,T] int32,
+         n_matches [B,T] int32.
+    """
+    from ..geometry.camera import undistort_pixels
+    from ..geometry.twoview import initialize_two_view
+    from ..ops.matcher import compact_matches, search_for_initialization
+
+    Pc = point_capacity
+    radius = tracker_cfg.projection_radius
+    tight = tracker_cfg.local_map_radius
+    scale = orb_cfg.scale_factor
+    width, height = cam_cfg.width, cam_cfg.height
+    n_levels = orb_cfg.n_levels
+
+    def per_sequence(images, K, key):
+        N = orb_cfg.max_keypoints
+
+        def empty_snap():
+            return dict(
+                desc=jnp.zeros((N, 8), jnp.uint32),
+                xy=jnp.zeros((N, 2), jnp.float32),
+                octave=jnp.zeros((N,), jnp.int32),
+                angle=jnp.zeros((N,), jnp.float32),
+                valid=jnp.zeros((N,), bool),
+            )
+
+        def body(carry, image):
+            (state, ref, mp, md, mv, R, t, vel_R, vel_t, have_vel,
+             key, init_frame, frame_idx) = carry
+            kps = orb_extract(image, orb_cfg)
+            xy_un = undistort_pixels(cam_cfg, kps.xy)
+            n_kps = jnp.sum(kps.valid.astype(jnp.int32))
+            cur = dict(desc=kps.desc, xy=xy_un, octave=kps.octave,
+                       angle=kps.angle_deg, valid=kps.valid)
+
+            # ---- INITIALIZING attempt (meaningful when state == 1) ----
+            res = search_for_initialization(
+                ref["desc"], ref["xy"], ref["octave"], ref["angle"],
+                ref["valid"],
+                kps.desc, xy_un, kps.octave, kps.angle_deg, kps.valid,
+                matcher_cfg,
+            )
+            nm = res.n_matches
+            pairs, pv = compact_matches(res.matches12, Pc)
+            key, sub = jax.random.split(key)
+            tv = initialize_two_view(
+                ref["xy"][pairs[:, 0]], xy_un[pairs[:, 1]], pv, K, sub,
+                init_cfg,
+            )
+            tri = tv.tri_mask
+            z = tv.points3d[:, 2]
+            med = jnp.nanmedian(jnp.where(tri, z, jnp.nan))
+            med = jnp.where(jnp.isfinite(med) & (med > 1e-6), med, 1.0)
+            seed_pts = tv.points3d / med
+            seed_desc = kps.desc[pairs[:, 1]]
+            R_init = tv.R21
+            t_init = tv.t21 / med
+
+            # ---- WORKING step (meaningful when state == 2) ----
+            zn = jnp.zeros((Pc, 3), jnp.float32)
+            zd = jnp.zeros((Pc,), jnp.float32)
+            R_pred = jnp.where(have_vel, vel_R @ R, R)
+            t_pred = jnp.where(have_vel, vel_R @ t + vel_t, t)
+
+            def match(Rm, tm, rad):
+                return search_by_projection(
+                    mp, md, mv, Rm, tm, K,
+                    kps.desc, xy_un, kps.valid, rad, matcher_cfg,
+                    width, height,
+                    kp_octave=kps.octave, scale_factor=scale,
+                    pt_normal=zn, pt_dmin=zd, pt_dmax=zd,
+                    n_levels=n_levels,
+                )
+
+            def optimize(Ro, to, pm):
+                kp_idx = pm.kp_for_point
+                matched = kp_idx >= 0
+                safe = jnp.clip(kp_idx, 0)
+                inv_s2 = 1.0 / scale ** (
+                    2.0 * kps.octave[safe].astype(jnp.float32))
+                return optimize_pose(
+                    Ro, to, mp, xy_un[safe], inv_s2, matched, K,
+                    rounds=tracker_cfg.pose_opt_rounds,
+                    iters_per_round=tracker_cfg.pose_opt_iters,
+                )
+
+            pm1 = match(R_pred, t_pred, radius)
+            res1 = optimize(R, t, pm1)
+            pm2 = match(res1.R, res1.t, tight)
+            res2 = optimize(res1.R, res1.t, pm2)
+
+            # ---- state transitions (selects; exact reference policy) ----
+            enough_kps = n_kps >= 100
+            seeding = (state == 0) & enough_kps
+            init_ok = (state == 1) & enough_kps \
+                & (nm >= init_cfg.min_matches) & tv.success
+            collapse = (state == 1) & enough_kps \
+                & (nm < init_cfg.min_matches)
+            # too few keypoints during INITIALIZING drops back to
+            # NOT_INITIALIZED (tracking.cpp:63-70 / Tracker._try_initialize)
+            drop = (state == 1) & ~enough_kps
+            take_ref = seeding | collapse          # (re-)seed the reference
+            working = state == 2
+
+            new_state = jnp.where(
+                init_ok | working, 2,
+                jnp.where(take_ref, 1, jnp.where(drop, 0, state))
+            ).astype(jnp.int32)
+            new_ref = {k: jnp.where(take_ref, cur[k], ref[k]) for k in ref}
+            mp = jnp.where(init_ok, seed_pts, mp)
+            md = jnp.where(init_ok, seed_desc, md)
+            mv = jnp.where(init_ok, tri, mv)
+            R_new = jnp.where(working, res2.R, jnp.where(init_ok, R_init, R))
+            t_new = jnp.where(working, res2.t, jnp.where(init_ok, t_init, t))
+            new_vel_R = jnp.where(working, res2.R @ R.T, jnp.eye(3))
+            new_vel_t = jnp.where(working, res2.t - (res2.R @ R.T) @ t,
+                                  jnp.zeros(3))
+            init_frame = jnp.where(init_ok, frame_idx, init_frame)
+            carry = (new_state, new_ref, mp, md, mv, R_new, t_new,
+                     new_vel_R, new_vel_t, working, key,
+                     init_frame, frame_idx + 1)
+            n_out = jnp.where(working, pm2.n_matches, nm).astype(jnp.int32)
+            return carry, (R_new, t_new, new_state, n_out)
+
+        init_carry = (
+            jnp.zeros((), jnp.int32), empty_snap(),
+            jnp.zeros((Pc, 3), jnp.float32), jnp.zeros((Pc, 8), jnp.uint32),
+            jnp.zeros((Pc,), bool),
+            jnp.eye(3), jnp.zeros(3), jnp.eye(3), jnp.zeros(3),
+            jnp.zeros((), bool), key,
+            jnp.full((), -1, jnp.int32), jnp.zeros((), jnp.int32),
+        )
+        carry, (Rs, ts, states, n_out) = jax.lax.scan(
+            body, init_carry, images)
+        (state, _, mp, md, mv, R, t, *_rest) = carry
+        return (state == 2, carry[11], mp, md, mv, Rs, ts, states, n_out)
+
+    batched = jax.vmap(per_sequence, in_axes=(0, None, 0))
+
+    dp = P("dp")
+    in_shardings = (NamedSharding(mesh, dp), NamedSharding(mesh, P()),
+                    NamedSharding(mesh, dp))
+    out_shardings = tuple(NamedSharding(mesh, dp) for _ in range(9))
+
+    @partial(jax.jit, in_shardings=in_shardings, out_shardings=out_shardings)
+    def run_jit(images, K, keys):
+        return batched(images, K, keys)
+
+    def run(images, K, keys):
+        (ok, init_frame, mp, md, mv, Rs, ts, states, n_out) = run_jit(
+            images, K, keys)
+        return {
+            "initialized": ok, "init_frame": init_frame,
+            "map_pts": mp, "map_desc": md, "map_valid": mv,
+            "R": Rs, "t": ts, "state": states, "n_matches": n_out,
+        }
 
     return run

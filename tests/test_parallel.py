@@ -228,3 +228,87 @@ def test_multiseq_sequence_runner_device_side(rng):
             (np.trace(Rs[0, f].T @ Rg) - 1) / 2, -1, 1)))
         assert rerr < 1.5, (f, rerr)
         assert np.linalg.norm(np.asarray(out["t"])[0, f] - tg) < 0.08, f
+
+
+def test_multiseq_init_runner_bootstraps_device_side(rng):
+    """Sequences initialize THEMSELVES inside one device program: the
+    NOT_INITIALIZED -> INITIALIZING -> WORKING machine runs as a scan
+    (ref seeding, H/F RANSAC init, in-jit map creation, then fused
+    tracking), with no host round trips and no pre-built map. Recovered
+    poses must match ground truth relative to the reference camera up to
+    the monocular init scale."""
+    import jax.numpy as jnp
+
+    from orb_slam_tracking_tpu.config import (
+        CameraConfig,
+        InitConfig,
+        MatcherConfig,
+        OrbConfig,
+        TrackerConfig,
+    )
+    from orb_slam_tracking_tpu.parallel.multiseq import (
+        make_dp_mesh,
+        make_multiseq_init_runner,
+    )
+    from orb_slam_tracking_tpu.utils.synthetic import (
+        CornerField,
+        make_trajectory,
+        render_frame,
+    )
+
+    cam = CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=240.0,
+                       width=640, height=480)
+    # the reference doubles the feature budget during initialization
+    # (tracking.cpp:17-23); the init matcher is octave-0-only, so the
+    # level-0 slice of 1000 features (~210 kps) is what feeds it
+    ocfg = OrbConfig(n_features=1000)
+    field = CornerField(rng, n=500)
+    poses = make_trajectory(16, "strafe")
+    T = 6
+    frames = np.stack([
+        render_frame(field, cam, R, t) for R, t in poses[:T]
+    ]).astype(np.float32)
+
+    mesh = make_dp_mesh()
+    B = len(jax.devices())
+    run = make_multiseq_init_runner(
+        mesh, cam, ocfg, MatcherConfig(), TrackerConfig(),
+        InitConfig(min_matches=60, ransac_iterations=150),
+        point_capacity=512,
+    )
+    K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]],
+                 np.float32)
+    keys = np.stack([np.asarray(jax.random.key_data(jax.random.PRNGKey(i)))
+                     for i in range(B)]).astype(np.uint32)
+    out = run(
+        jnp.asarray(np.broadcast_to(frames, (B,) + frames.shape)).copy(),
+        jnp.asarray(K),
+        jnp.asarray(keys),
+    )
+    ok = np.asarray(out["initialized"])
+    assert ok.all()
+    f0 = int(np.asarray(out["init_frame"])[0])
+    assert 1 <= f0 <= T - 1
+    assert int(np.asarray(out["map_valid"])[0].sum()) >= 50
+
+    # ground truth relative to the reference camera (frame 0 seeds the
+    # reference; its camera frame is the world after init)
+    R0g, t0g = poses[0]
+    Rs = np.asarray(out["R"])[0]
+    ts = np.asarray(out["t"])[0]
+    scales = []
+    for f in range(f0, T):
+        Rg, tg = poses[f]
+        R_rel = Rg @ R0g.T
+        t_rel = tg - R_rel @ t0g
+        rerr = np.degrees(np.arccos(np.clip(
+            (np.trace(Rs[f].T @ R_rel) - 1) / 2, -1, 1)))
+        assert rerr < 2.0, (f, rerr)
+        nt, ne = np.linalg.norm(t_rel), np.linalg.norm(ts[f])
+        assert ne > 1e-4 and nt > 1e-4, f
+        cosang = float(ts[f] @ t_rel / (ne * nt))
+        assert cosang > 0.99, (f, cosang)
+        scales.append(ne / nt)
+    # one consistent monocular scale across the tracked frames
+    scales = np.asarray(scales)
+    assert scales.std() / scales.mean() < 0.05, scales
