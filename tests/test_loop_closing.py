@@ -274,6 +274,11 @@ def test_correct_loop_shrinks_trajectory_error(loop_world):
     lc = LoopCloser(w["cfg"], w["K"])
     m2, info = lc.on_keyframe(m, w["db"], 9)
     assert str(info["loop"]).startswith("closed")
+    # pytree shapes must survive the correction verbatim (regression: a
+    # batched-Sim3 misuse once silently produced [P, P, 3] points that
+    # downstream jnp.where broadcasts carried along)
+    for a, b in zip(m2, m):
+        assert jnp.shape(a) == jnp.shape(b)
     err_after = _center_errors(m2.kf_R[:N_KF], m2.kf_t[:N_KF],
                                w["R_gt"], w["t_gt"])
     # The half of the chain near the fixed loop keyframe must be pulled
