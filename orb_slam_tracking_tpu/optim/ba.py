@@ -134,8 +134,8 @@ def bundle_adjust(
 
     max_free_cams: static bound on the number of FREE cameras (the local
     BA window). The Schur coupling is materialized only over this compact
-    axis; callers whose free count can exceed it must raise it (results
-    are silently wrong otherwise — the tracker passes its ba_window).
+    axis; free cameras beyond the bound are safely treated as FIXED for
+    this solve (zero update) rather than optimized incorrectly.
     None = all cameras (global BA).
     """
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
@@ -156,9 +156,13 @@ def bundle_adjust(
 
     free_cam = jnp.logical_not(kf_fixed)
     # compact free-camera index: free camera k -> rank in [0, nF); fixed
-    # cameras -> the dump slot nF (their coupling never enters S)
+    # cameras -> the dump slot nF (their coupling never enters S). Free
+    # cameras beyond the static window are SAFELY demoted to fixed (dump
+    # slot, zero update) rather than silently collapsed into slot nF-1,
+    # which would corrupt that camera's pose.
     free_rank = jnp.cumsum(free_cam.astype(jnp.int32)) - 1
-    fidx = jnp.where(free_cam, jnp.minimum(free_rank, nF - 1), nF)
+    in_window = free_cam & (free_rank < nF)
+    fidx = jnp.where(in_window, free_rank, nF)
     obs_fidx = fidx[obs_kf]
 
     def step(carry, _):
@@ -193,7 +197,7 @@ def bundle_adjust(
         # free-camera system in compact coordinates
         Ud_free = jnp.zeros((nF + 1, 6, 6)).at[fidx].add(Ud)[:nF]
         g_c_free = jnp.zeros((nF + 1, 6)).at[fidx].add(
-            jnp.where(free_cam[:, None], g_c, 0.0)
+            jnp.where(in_window[:, None], g_c, 0.0)
         )[:nF]
 
         Y = jnp.einsum("pkil,plm->pkim", Wb, Vinv)  # [P, nF, 6, 3]
@@ -204,7 +208,7 @@ def bundle_adjust(
         rhs = -g_c_free + jnp.einsum("pkil,pl->ki", Y, g_p)  # [nF, 6]
 
         # empty compact slots (fewer free cams than nF): identity diagonal
-        occupied = jnp.arange(nF) < jnp.sum(free_cam.astype(jnp.int32))
+        occupied = jnp.arange(nF) < jnp.sum(in_window.astype(jnp.int32))
         omask = occupied.astype(S.dtype)
         S = S * omask[:, None, None, None] * omask[None, None, :, None]
         S = S.at[jnp.arange(nF), :, jnp.arange(nF), :].add(
@@ -217,9 +221,9 @@ def bundle_adjust(
         dxc_free = jax.scipy.linalg.cho_solve(
             jax.scipy.linalg.cho_factor(Sm), rhs.reshape(-1)
         ).reshape(nF, 6)
-        # expand back to the full camera axis
+        # expand back to the full camera axis (out-of-window cams: zero)
         dxc = jnp.where(
-            free_cam[:, None],
+            in_window[:, None],
             dxc_free[jnp.clip(free_rank, 0, nF - 1)],
             0.0,
         )

@@ -117,9 +117,12 @@ def optimize_pose_graph(
         J = J * col_free[None, :]                                 # gauge fix
         H = J.T @ J
         b = J.T @ r
-        # pin frozen columns so H stays SPD and their increment is 0
+        # pin frozen columns so H stays SPD and their increment is 0; the
+        # small absolute floor keeps the Cholesky finite even if a free
+        # coordinate has exactly zero curvature (degenerate edge Jacobian),
+        # so LM degrades gracefully instead of rejecting every step
         diag_pin = jnp.where(col_free > 0, 0.0, 1.0)
-        Hd = H + jnp.diag(lam * jnp.diagonal(H) + diag_pin)
+        Hd = H + jnp.diag(lam * jnp.diagonal(H) + diag_pin + 1e-9)
         dx = -jax.scipy.linalg.cho_solve(
             (jax.scipy.linalg.cholesky(Hd, lower=True), True), b)
         cand = _perturbed(base, dx.reshape(K, 7))

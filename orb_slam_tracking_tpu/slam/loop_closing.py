@@ -124,11 +124,12 @@ class LoopCloser:
         for c in cand_slots:
             group = set(np.where(shared[c] >= tcfg.covis_min_shared)[0])
             group.add(int(c))
-            streak = 1
-            for prev_group, prev_streak in self._groups:
-                if group & prev_group:
-                    streak = prev_streak + 1
-                    break
+            # best streak over ALL intersecting previous groups (ORB-SLAM
+            # DetectLoop tracks nCurrentConsistency as the maximum; taking
+            # the first intersection can under-count with overlapping
+            # covisibility groups and delay acceptance)
+            streak = 1 + max(
+                (ps for pg, ps in self._groups if group & pg), default=0)
             new_groups.append((group, streak))
             if streak >= tcfg.loop_consistency_th:
                 accepted.append((float(scores[c]), int(c)))
@@ -301,14 +302,32 @@ class LoopCloser:
         kfkp = np.asarray(m.kf_kp_pt)
         kfkp_new = np.where(kfkp >= 0, remap[np.clip(kfkp, 0, P - 1)],
                             kfkp).astype(kfkp.dtype)
+        new_obs_pt = remap[obs_pt].astype(obs_pt.dtype)
+        # A keyframe that observed two distinct pre-merge points now merged
+        # into the same target would contribute duplicate (kf, pt) rows and
+        # double-weight those pixels in pose-graph/GBA (ORB-SLAM's
+        # MapPoint::Replace dedups observations). Keep one row per pair and
+        # recompute n_obs of merge targets from the surviving rows.
+        targets = np.unique(np.fromiter(merges.values(), np.int64))
+        new_obs_ok = obs_ok.copy()
+        aff = np.where(obs_ok & np.isin(new_obs_pt, targets))[0]
+        if len(aff):
+            keys = (obs_kf[aff].astype(np.int64) * P
+                    + new_obs_pt[aff].astype(np.int64))
+            _, first = np.unique(keys, return_index=True)
+            dup = np.ones(len(aff), bool)
+            dup[first] = False
+            new_obs_ok[aff[dup]] = False
         n_obs = np.asarray(m.n_obs).copy()
         new_valid = pt_valid.copy()
-        for q, p in merges.items():
-            n_obs[p] += n_obs[q]
+        for q in merges:
             n_obs[q] = 0
             new_valid[q] = False
+        for p in targets:
+            n_obs[p] = int(np.sum(new_obs_ok & (new_obs_pt == p)))
         return m._replace(
-            obs_pt=jnp.asarray(remap[obs_pt].astype(obs_pt.dtype)),
+            obs_pt=jnp.asarray(new_obs_pt),
+            obs_valid=jnp.asarray(new_obs_ok),
             kf_kp_pt=jnp.asarray(kfkp_new),
             pt_valid=jnp.asarray(new_valid),
             n_obs=jnp.asarray(n_obs),

@@ -676,20 +676,22 @@ class Tracker:
 
         R_cur = np.asarray(m.kf_R[slot])
         t_cur = np.asarray(m.kf_t[slot])
-        # projections of existing points into the current frame, for fuse
-        pts_np = np.asarray(m.pts)
-        pt_valid_np = np.asarray(m.pt_valid)
         K_np = np.asarray(self.K)
-        pc = pts_np @ R_cur.T + t_cur
-        zs = np.where(np.abs(pc[:, 2:]) < 1e-9, 1e-9, pc[:, 2:])
-        proj = (pc[:, :2] / zs) @ K_np[:2, :2].T + K_np[:2, 2]
-        proj_ok = pt_valid_np & (pc[:, 2] > 0.05)
-        map_desc_np = np.asarray(m.desc)
 
         n_new_total = 0
         n_fused = 0
         for nb in neighbors:
             m = self.map
+            # projections of existing points into the current frame, for
+            # fuse — refreshed EVERY neighbor iteration so points created
+            # against an earlier neighbor are visible to the duplicate
+            # check for later neighbors
+            pts_np = np.asarray(m.pts)
+            pc = pts_np @ R_cur.T + t_cur
+            zs = np.where(np.abs(pc[:, 2:]) < 1e-9, 1e-9, pc[:, 2:])
+            proj = (pc[:, :2] / zs) @ K_np[:2, :2].T + K_np[:2, 2]
+            proj_ok = np.asarray(m.pt_valid) & (pc[:, 2] > 0.05)
+            map_desc_np = np.asarray(m.desc)
             kf_kp_pt_now = np.asarray(m.kf_kp_pt)
             cur_free = kf_kp_pt_now[slot] < 0
             nb_free = kf_kp_pt_now[nb] < 0
@@ -764,7 +766,9 @@ class Tracker:
         n_cand = len(i1)
         if n_cand == 0:
             return 0, 0
-        # duplicate detection against existing projected points
+        # duplicate detection against existing projected points — fully
+        # vectorized over the (candidate, nearby-point) pairs: Hamming via
+        # numpy's popcount instead of a per-element Python loop
         fuse_target = np.full(n_cand, -1, np.int64)
         if proj_ok.any():
             pidx = np.where(proj_ok)[0]
@@ -772,19 +776,18 @@ class Tracker:
                 (proj[pidx, 0][None, :] - x2[:, 0][:, None]) ** 2
                 + (proj[pidx, 1][None, :] - x2[:, 1][:, None]) ** 2
             )
-            for c in range(n_cand):
-                near = pidx[d2[c] < fuse_r2]
-                if len(near) == 0:
-                    continue
-                dc = kp_desc_cur[i2[c]]
-                hd = np.array([
-                    sum(int(a ^ b).bit_count()
-                        for a, b in zip(map_desc_np[p], dc))
-                    for p in near
-                ])
-                j = int(np.argmin(hd))
-                if hd[j] <= cfg.matcher.th_low:
-                    fuse_target[c] = near[j]
+            cc, pp = np.nonzero(d2 < fuse_r2)
+            if len(cc):
+                xor = kp_desc_cur[i2[cc]] ^ map_desc_np[pidx[pp]]
+                hd = np.bitwise_count(xor).sum(axis=1).astype(np.int64)
+                # per-candidate minimum: first row of each cc block after
+                # an (cc, hd)-lexsort
+                order = np.lexsort((hd, cc))
+                first = np.ones(len(order), bool)
+                first[1:] = cc[order][1:] != cc[order][:-1]
+                win = order[first]
+                ok_w = hd[win] <= cfg.matcher.th_low
+                fuse_target[cc[win][ok_w]] = pidx[pp[win][ok_w]]
 
         fused_idx = np.where(fuse_target >= 0)[0]
         new_idx = np.where(fuse_target < 0)[0]
