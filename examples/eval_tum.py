@@ -103,16 +103,39 @@ def main():
 
     tracker = Tracker(cfg)
     n_lost = 0
+    frame_ms = []            # per-frame wall time (host+device, everything)
+    kf_frame = []            # did this frame insert a keyframe?
+    import time as _time
     for i, (ts, path) in enumerate(frames):
         img = load_gray(path)
+        t0 = _time.time()
         out = tracker.track(img, ts)
+        frame_ms.append((_time.time() - t0) * 1e3)
+        kf_frame.append("kf" in out)
         state = out.get("state", "?")
         if state == "LOST":
             n_lost += 1
         if i % 25 == 0 or i == len(frames) - 1:
             print(f"[{i + 1}/{len(frames)}] state={state} "
                   f"kps={out.get('n_kps', '?')} "
-                  f"inliers={out.get('n_inliers', '?')}", flush=True)
+                  f"inliers={out.get('n_inliers', '?')}"
+                  + (" +KF" if "kf" in out else ""), flush=True)
+
+    # end-to-end sequence throughput, keyframe work INCLUDED (the honest
+    # number next to the steady-state fused-step fps in BASELINE.md).
+    # The first frames amortize jit compiles; skip a fixed prefix.
+    skip = min(12, len(frame_ms) // 4)
+    ms = np.asarray(frame_ms[skip:])
+    kfm = np.asarray(kf_frame[skip:], bool)
+    if len(ms):
+        n_kf_total = int(np.sum(kf_frame))
+        print(f"sequence throughput (frames {skip}..{len(frame_ms)}): "
+              f"{1e3 / ms.mean():.1f} frames/s amortized "
+              f"(mean {ms.mean():.1f} ms, median {np.median(ms):.1f} ms)")
+        if kfm.any() and (~kfm).any():
+            print(f"  keyframe frames: {int(kfm.sum())}/{len(ms)} "
+                  f"(total {n_kf_total}), mean {ms[kfm].mean():.1f} ms; "
+                  f"non-KF frames mean {ms[~kfm].mean():.1f} ms")
 
     write_trajectory_tum(tracker.trajectory, args.out)
     print(f"estimated trajectory: {len(tracker.trajectory)} poses "

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Render a fixed-seed synthetic sequence in TUM RGB-D layout.
+
+The container has no network access, so the TUM benchmark sequences
+cannot be fetched; this generates the standardized stand-in: a
+few-hundred-frame CLOSED-LOOP trajectory (the camera returns to its
+starting view, so keyframe insertion, culling, local BA, loop closing
+and global BA all fire) through the textured CornerField world, written
+exactly like a TUM sequence:
+
+  OUT_DIR/rgb.txt            "timestamp path" index
+  OUT_DIR/rgb/<t>.png        8-bit grayscale frames
+  OUT_DIR/groundtruth.txt    "t tx ty tz qx qy qz qw" (camera-to-world)
+  OUT_DIR/Settings.yaml      reference-style calibration for the loader
+
+`examples/eval_tum.py OUT_DIR --settings OUT_DIR/Settings.yaml` then
+exercises the full io/tum.py + tracker + metrics path end-to-end and
+reports Sim(3)-aligned ATE / RPE against the written ground truth
+(BASELINE.md "synthetic loop ATE" row).
+
+Usage: python examples/make_synthetic_tum.py OUT_DIR [--frames N]
+           [--seed S] [--mode loop] [--points N]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FPS = 30.0
+
+
+def rotation_to_quat(R):
+    """[3,3] camera-to-world rotation -> (qx, qy, qz, qw)."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.array([(R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+                         (R[1, 0] - R[0, 1]) / s, 0.25 * s])
+    i = int(np.argmax(np.diagonal(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(R[i, i] - R[j, j] - R[k, k] + 1.0) * 2
+    q = np.zeros(4)
+    q[i] = 0.25 * s
+    q[j] = (R[j, i] + R[i, j]) / s
+    q[k] = (R[k, i] + R[i, k]) / s
+    q[3] = (R[k, j] - R[j, k]) / s
+    return q
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir")
+    ap.add_argument("--frames", type=int, default=300)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--mode", default="loop",
+                    choices=["loop", "strafe", "forward"])
+    ap.add_argument("--points", type=int, default=900)
+    args = ap.parse_args()
+
+    from PIL import Image
+
+    from orb_slam_tracking_tpu.config import CameraConfig
+    from orb_slam_tracking_tpu.utils.synthetic import (
+        CornerField,
+        make_trajectory,
+        render_frame,
+    )
+
+    cam = CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=240.0,
+                       width=640, height=480, fps=FPS)
+    rng = np.random.default_rng(args.seed)
+    # a deep, wide field so every loop pose sees plenty of texture
+    field = CornerField(rng, n=args.points, x=(-5.0, 5.0), y=(-3.5, 3.5),
+                        z=(3.0, 10.0))
+    poses = make_trajectory(args.frames, args.mode)
+
+    rgb_dir = os.path.join(args.out_dir, "rgb")
+    os.makedirs(rgb_dir, exist_ok=True)
+    index_rows = []
+    gt_rows = []
+    for i, (R, t) in enumerate(poses):
+        ts = i / FPS
+        img = render_frame(field, cam, R, t).astype(np.uint8)
+        name = f"rgb/{ts:.6f}.png"
+        Image.fromarray(img, mode="L").save(
+            os.path.join(args.out_dir, name))
+        index_rows.append(f"{ts:.6f} {name}")
+        centre = -R.T @ t
+        q = rotation_to_quat(R.T.astype(np.float64))
+        gt_rows.append(
+            f"{ts:.6f} {centre[0]:.6f} {centre[1]:.6f} {centre[2]:.6f} "
+            f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}")
+        if (i + 1) % 50 == 0:
+            print(f"rendered {i + 1}/{len(poses)}", flush=True)
+
+    with open(os.path.join(args.out_dir, "rgb.txt"), "w") as f:
+        f.write("# timestamp filename\n" + "\n".join(index_rows) + "\n")
+    with open(os.path.join(args.out_dir, "groundtruth.txt"), "w") as f:
+        f.write("# timestamp tx ty tz qx qy qz qw\n"
+                + "\n".join(gt_rows) + "\n")
+    with open(os.path.join(args.out_dir, "Settings.yaml"), "w") as f:
+        f.write(f"""%YAML:1.0
+Camera.fx: {cam.fx}
+Camera.fy: {cam.fy}
+Camera.cx: {cam.cx}
+Camera.cy: {cam.cy}
+Camera.k1: 0.0
+Camera.k2: 0.0
+Camera.p1: 0.0
+Camera.p2: 0.0
+Camera.fps: {FPS}
+Camera.RGB: 0
+Camera.width: {cam.width}
+Camera.height: {cam.height}
+ORBextractor.nFeatures: 1000
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+""")
+    print(f"wrote {len(poses)} frames to {args.out_dir} "
+          f"(mode={args.mode}, seed={args.seed})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -104,6 +104,16 @@ def make_trajectory(n_frames: int, mode: str = "strafe") -> List[Tuple[np.ndarra
         elif mode == "forward":
             yaw = np.radians(2.0 * s)
             cwx, cwy, cwz = -0.2 * s, 0.0, 1.5 * s
+        elif mode == "loop":
+            # closed circuit in the x-y plane, returning exactly to the
+            # start: the camera revisits its first view at the end, which
+            # is what the loop-closing pipeline needs to detect + correct
+            # accumulated drift (synthetic ATE benchmark trajectory)
+            ang = 2 * np.pi * s
+            yaw = np.radians(4.0) * np.sin(ang)
+            cwx = -0.9 * np.sin(ang)
+            cwy = 0.35 * (1.0 - np.cos(ang))
+            cwz = 0.25 * np.sin(2 * ang)
         else:
             raise ValueError(mode)
         Rwc = np.array(
