@@ -17,6 +17,8 @@ import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -28,7 +30,15 @@ def main():
     ap.add_argument("-L", "--depth", type=int, default=4, help="tree depth")
     ap.add_argument("--n-features", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (offline artifact "
+                         "creation does not need the accelerator)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from orb_slam_tracking_tpu.bow import (
         build_vocabulary_from_frames,

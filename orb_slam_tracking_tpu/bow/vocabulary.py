@@ -29,7 +29,8 @@ from ..ops.hamming import hamming_matrix
 
 __all__ = [
     "Vocabulary", "build_vocabulary", "transform", "save_vocabulary",
-    "load_vocabulary", "direct_index_nodes",
+    "load_vocabulary", "direct_index_nodes", "load_orbvoc_text",
+    "save_orbvoc_text",
 ]
 
 
@@ -228,7 +229,121 @@ def save_vocabulary(voc: Vocabulary, path) -> None:
     )
 
 
+def load_orbvoc_text(path) -> Vocabulary:
+    """Import a DBoW2 text-format vocabulary (the file format that ships
+    pretrained ORB vocabularies like ORBvoc.txt —
+    ``TemplatedVocabulary.h:229-265`` ``loadFromTextFile``):
+
+      line 0:  k L scoring weighting
+      line i:  parent_id is_leaf b0 .. b31 weight     (node ids 1.., root 0)
+
+    DBoW2 trees are RAGGED — nodes may have fewer than k children and
+    leaves may sit above the bottom level. The dense complete-tree layout
+    absorbs this exactly:
+
+    - a node with fewer than k children has its remaining child slots
+      filled with COPIES of its first child's descriptor. Descent argmin
+      breaks ties toward the lowest index, so a padded copy can never win
+      against the real child it duplicates — padded subtrees are
+      unreachable and their leaves carry weight 0;
+    - a leaf above the bottom level is extended by a single-child chain of
+      its own descriptor down to the bottom, where it receives the leaf's
+      word weight (descent follows the chain deterministically).
+
+    Words therefore map 1:1 onto reachable dense leaves; BoW vectors and
+    scores computed through :func:`transform` match DBoW2's descent on the
+    original ragged tree node-for-node.
+    """
+    with open(path) as f:
+        header = f.readline().split()
+        if len(header) < 2:
+            raise ValueError(f"{path}: bad ORBvoc header {header!r}")
+        k, depth = int(header[0]), int(header[1])
+        body = np.loadtxt(f, dtype=np.float64, ndmin=2)
+    if body.shape[1] != 35:
+        raise ValueError(
+            f"{path}: expected 35 columns (parent is_leaf 32-byte-desc "
+            f"weight), got {body.shape[1]}")
+    n = body.shape[0]
+    parent = body[:, 0].astype(np.int64)          # 0 = root; ids are 1..n
+    weight = body[:, 34].astype(np.float32)
+    descs = np.ascontiguousarray(
+        body[:, 2:34].astype(np.uint8)).view(np.uint32)  # [n, 8]
+
+    # children of each node id (0..n), preserving file order — DBoW2
+    # appends children in read order
+    order = np.argsort(parent, kind="stable")
+    kids: list = [[] for _ in range(n + 1)]
+    for row in order:
+        kids[parent[row]].append(int(row) + 1)    # node id = row + 1
+
+    levels = [np.zeros((k ** (l + 1), 8), np.uint32) for l in range(depth)]
+    word_weight = np.zeros(k ** depth, np.float32)
+
+    # stack entries: (node_id, level of the node's CHILDREN, dense index
+    # of the node at its level). chain_id < 0 marks a self-chain
+    # continuation carrying (descriptor row, leaf weight).
+    stack = [(0, 0, 0)]
+    while stack:
+        nid, lvl, didx = stack.pop()
+        ch = kids[nid]
+        if not ch:
+            # leaf above the bottom: chain its own descriptor down
+            d = descs[nid - 1]
+            w = weight[nid - 1]
+            for l2 in range(lvl, depth):
+                didx = didx * k
+                levels[l2][didx] = d
+            word_weight[didx] = w
+            continue
+        first_desc = descs[ch[0] - 1]
+        for j in range(k):
+            cid = ch[j] if j < len(ch) else None
+            slot = didx * k + j
+            levels[lvl][slot] = (descs[cid - 1] if cid is not None
+                                 else first_desc)
+            if cid is None:
+                continue  # padded copy: unreachable, weight stays 0
+            if lvl + 1 == depth:
+                word_weight[slot] = weight[cid - 1]
+            else:
+                stack.append((cid, lvl + 1, slot))
+    return Vocabulary(
+        node_desc=tuple(jnp.asarray(d) for d in levels),
+        word_weight=jnp.asarray(word_weight),
+        k=k,
+        depth=depth,
+    )
+
+
+def save_orbvoc_text(voc: Vocabulary, path) -> None:
+    """Export in DBoW2's text format (``TemplatedVocabulary.h`` save
+    counterpart), so vocabularies trained here load into stock DBoW2 /
+    ORB-SLAM builds. The dense tree is complete, so the export is a
+    breadth-first walk; internal nodes carry weight 0, leaves their idf
+    weight. Scoring/weighting header fields are L1_NORM / TF_IDF (0 0),
+    DBoW2's defaults for ORB vocabularies."""
+    k, depth = voc.k, voc.depth
+    lines = [f"{k} {depth} 0 0"]
+    ww = np.asarray(voc.word_weight)
+    for lvl in range(depth):
+        descs = np.asarray(voc.node_desc[lvl]).view(np.uint8)
+        is_leaf = 1 if lvl + 1 == depth else 0
+        base_parent = ((k ** lvl - 1) // (k - 1)) if k > 1 else lvl
+        for idx in range(descs.shape[0]):
+            pid = 0 if lvl == 0 else base_parent + idx // k
+            w = float(ww[idx]) if is_leaf else 0.0
+            byte_str = " ".join(str(int(b)) for b in descs[idx])
+            lines.append(f"{pid} {is_leaf} {byte_str} {w:.6f}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def load_vocabulary(path) -> Vocabulary:
+    """Load a vocabulary artifact: DBoW2 text format (``.txt``) or this
+    package's npz format."""
+    if str(path).endswith(".txt"):
+        return load_orbvoc_text(path)
     with np.load(path) as z:
         k = int(z["k"])
         depth = int(z["depth"])

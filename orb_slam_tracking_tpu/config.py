@@ -86,6 +86,11 @@ class OrbConfig:
     n_levels: int = 8
     ini_th_fast: int = 20
     min_th_fast: int = 7
+    # Keypoint ranking score (the reference's declared scoreType axis,
+    # ORBextractor.hpp:57 / Settings.hpp:77-90): "fast" ranks by the exact
+    # FAST corner score; "harris" detects with FAST and ranks the corners
+    # by the Harris measure (OpenCV-ORB HARRIS_SCORE semantics).
+    score_type: str = "fast"
     # Static capacity of keypoint arrays (>= n_features, padded with invalid).
     max_keypoints: int = 0  # 0 => auto: next multiple of 256 >= n_features
     # Border where no keypoint may live; the reference's EDGE_THRESHOLD=19
@@ -112,6 +117,10 @@ class OrbConfig:
             raise ValueError("n_levels must be >= 1")
         if self.scale_factor <= 1.0:
             raise ValueError("scale_factor must be > 1")
+        if self.score_type not in ("fast", "harris"):
+            raise ValueError(
+                f"score_type must be 'fast' or 'harris', "
+                f"got {self.score_type!r}")
         if self.max_keypoints == 0:
             cap = ((self.n_features + 255) // 256) * 256
             object.__setattr__(self, "max_keypoints", cap)
@@ -215,11 +224,16 @@ class TrackerConfig:
     use_bow: bool = True
     bow_branching: int = 8
     bow_depth: int = 3
-    # Path to a pretrained vocabulary artifact (save_vocabulary npz). When
+    # Path to a pretrained vocabulary artifact (save_vocabulary npz or
+    # DBoW2 ORBvoc .txt). The default "bundled" resolves to the corpus-
+    # trained artifact shipped with the package (data/orbvoc_synth_k10_L4
+    # .npz, 10k words — examples/train_vocabulary.py), falling back to
+    # one-frame training when absent. None forces one-frame training.
+    # When
     # set, the tracker loads it at map init instead of training from the
     # init frame — the reference's own workflow (a shipped ORBvoc loaded at
     # System construction; TemplatedVocabulary.h:229-265).
-    vocab_path: Optional[str] = None
+    vocab_path: Optional[str] = "bundled"
     # Local BA window.
     ba_window: int = 20
     ba_iterations: int = 10
@@ -306,8 +320,8 @@ _ORB_KEYS = {
     "ORBextractor.iniThFAST": "ini_th_fast",
     "ORBextractor.fastTh": "ini_th_fast",      # bundled-YAML alias
     "ORBextractor.minThFAST": "min_th_fast",
-    "ORBextractor.scoreType": None,            # accepted, ignored (FAST score)
-    "ORBextractor.nScoreType": None,
+    "ORBextractor.scoreType": "score_type",    # 0 = Harris, 1 = FAST
+    "ORBextractor.nScoreType": "score_type",   # (Settings.hpp:77,124 enum)
 }
 _TRACKER_KEYS = {"UseMotionModel": "use_motion_model"}
 
@@ -355,7 +369,11 @@ def load_system_config(path: str, width: int = 640, height: int = 480,
             cam_kwargs[field] = bool(val) if field == "rgb" else val
         elif key in _ORB_KEYS:
             field = _ORB_KEYS[key]
-            if field is not None:
+            if field == "score_type":
+                # reference enum: HARRIS_SCORE=0, FAST_SCORE=1
+                # (ORBextractor.hpp:57)
+                orb_kwargs[field] = "harris" if int(val) == 0 else "fast"
+            elif field is not None:
                 orb_kwargs[field] = val
         elif key in _TRACKER_KEYS:
             trk_kwargs[_TRACKER_KEYS[key]] = bool(val)

@@ -122,13 +122,15 @@ def _detect_slice(score: jnp.ndarray, ini_th: int, min_th: int,
     return jnp.where((score >= pooled) & (score > 0.0), score, 0.0)
 
 
-def orb_extract_atlas(image: jnp.ndarray, cfg: OrbConfig) -> Keypoints:
+def orb_extract_atlas(image: jnp.ndarray, cfg: OrbConfig,
+                      mask: jnp.ndarray | None = None) -> Keypoints:
     """Atlas-fused equivalent of ``extractor.orb_extract`` (bit-identical
     output; see module docstring for the argument)."""
     budgets = cfg.features_per_level()
     scales = cfg.level_scales()
     lay = _layout(image.shape[0], image.shape[1], cfg)
     canvas = build_atlas(image, cfg)
+    harris = cfg.score_type == "harris"
 
     # --- the four heavy single-pass stages ---
     if jax.default_backend() == "tpu":
@@ -139,6 +141,10 @@ def orb_extract_atlas(image: jnp.ndarray, cfg: OrbConfig) -> Keypoints:
         score_c = fast_score(canvas, _PAD)
     m10_c, m01_c = moment_maps(canvas)          # canvas-interior aligned
     blurred_c = gaussian_blur(canvas)
+    if harris:
+        from .harris import harris_response
+
+        harris_c = harris_response(canvas, _PAD)  # one canvas pass
 
     # --- per-level light stages on static slices (exact per-level
     #     anchoring: the slice origin IS the level origin) ---
@@ -147,7 +153,16 @@ def orb_extract_atlas(image: jnp.ndarray, cfg: OrbConfig) -> Keypoints:
         s = jax.lax.slice(score_c, (off, 0), (off + hl, wl))
         det = _detect_slice(s, cfg.ini_th_fast, cfg.min_th_fast,
                             cfg.fast_cell_size)
+        if mask is not None:
+            from .extractor import _mask_level
+
+            det = jnp.where(_mask_level(mask, hl, wl), det, 0.0)
+        if harris:
+            hr = jax.lax.slice(harris_c, (off, 0), (off + hl, wl))
+            det = jnp.where(det > 0.0, hr + 1.0, 0.0)
         xy_l, resp, valid = select_level(det, budgets[lvl], cfg.select_cell_size)
+        if harris:
+            resp = jnp.where(valid, resp - 1.0, resp)
         # canvas-interior coordinates of this level's keypoints
         xy_c = xy_l + jnp.asarray([0.0, float(off)])
         xy_atlas.append(xy_c)

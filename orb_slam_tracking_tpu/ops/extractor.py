@@ -28,9 +28,33 @@ from .select import select_level
 __all__ = ["orb_extract"]
 
 
+def _mask_level(mask: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Downsample a level-0 detection mask (nonzero = detect, the OpenCV
+    ``ORBextractor::operator()`` mask convention,
+    ``ORBextractor.hpp:83-85``) to a level's resolution."""
+    m = jax.image.resize(mask.astype(jnp.float32), (h, w), "nearest")
+    return m > 0.5
+
+
+def _harris_rank(score: jnp.ndarray, padded: jnp.ndarray) -> jnp.ndarray:
+    """Swap FAST detection scores for Harris ranking scores (+1 keeps the
+    score-map convention 'positive = keypoint'; response is in
+    [-0.13, 0.13] at 8-bit range, see ops/harris.py)."""
+    from .harris import harris_response
+
+    return jnp.where(score > 0.0, harris_response(padded) + 1.0, 0.0)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
-def orb_extract(image: jnp.ndarray, cfg: OrbConfig) -> Keypoints:
+def orb_extract(image: jnp.ndarray, cfg: OrbConfig,
+                mask: jnp.ndarray | None = None) -> Keypoints:
     """Extract ORB keypoints + descriptors from ``image [H, W] float32``.
+
+    ``mask`` (optional, [H, W], nonzero = detect) restricts detection —
+    the reference functor's mask argument (``ORBextractor.hpp:83-85``).
+    ``cfg.score_type == "harris"`` ranks FAST corners by the Harris
+    measure (the declared scoreType axis, ``Settings.hpp:77,124``);
+    keypoint ``response`` then carries the Harris value.
 
     Returns a ``Keypoints`` with capacity ``cfg.max_keypoints``; the first
     ``sum(cfg.features_per_level())`` rows hold per-level results (invalid
@@ -42,17 +66,26 @@ def orb_extract(image: jnp.ndarray, cfg: OrbConfig) -> Keypoints:
     if cfg.use_atlas:
         from .atlas import orb_extract_atlas
 
-        return orb_extract_atlas(image, cfg)
+        return orb_extract_atlas(image, cfg, mask)
     budgets = cfg.features_per_level()
     scales = cfg.level_scales()
     levels = build_pyramid(image, cfg, pad=EDGE_THRESHOLD)
+    harris = cfg.score_type == "harris"
 
     xs, resps, angs, octs, sizes, descs, valids = [], [], [], [], [], [], []
     for lvl, padded in enumerate(levels):
         score = detect_level(
             padded, cfg.ini_th_fast, cfg.min_th_fast, cfg.fast_cell_size
         )
+        if mask is not None:
+            score = jnp.where(
+                _mask_level(mask, score.shape[0], score.shape[1]),
+                score, 0.0)
+        if harris:
+            score = _harris_rank(score, padded)
         xy_l, resp, valid = select_level(score, budgets[lvl], cfg.select_cell_size)
+        if harris:
+            resp = jnp.where(valid, resp - 1.0, resp)
         m10, m01 = moment_maps(padded)
         ang = angles_at(m10, m01, xy_l)
         blurred = gaussian_blur(padded)
