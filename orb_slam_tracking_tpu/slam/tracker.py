@@ -63,6 +63,135 @@ class TrackState:
              3: "WORKING", 4: "LOST"}
 
 
+def _pow2_bucket(n: int, lo: int = 64) -> int:
+    """Pad counts to a power-of-two bucket so the jitted map-update
+    programs compile a bounded number of times (the keyframe-insert path
+    previously issued eager scatters with data-dependent lengths — a
+    fresh XLA compile per insert)."""
+    c = lo
+    while c < n:
+        c *= 2
+    return c
+
+
+def _pad_to(a: np.ndarray, cap: int, fill=0) -> np.ndarray:
+    out = np.full((cap,) + a.shape[1:], fill, a.dtype)
+    out[: len(a)] = a
+    return out
+
+
+@jax.jit
+def _scatter_obs(m: SlamMap, slot, rows, tgt, kp, uv, inv_s2, ok, add_stats):
+    """Append observation rows (slot, tgt, kp, uv) where ``ok``; padding
+    lanes carry out-of-range indices and are dropped by the scatter.
+    ``add_stats`` (0/1) also bumps pt_found/pt_visible (fuse semantics).
+    One compiled program per (capacity bucket); replaces per-insert eager
+    scatter chains."""
+    O = m.obs_kf.shape[0]
+    P = m.pts.shape[0]
+    N = m.kf_kp_pt.shape[1]
+    r = jnp.where(ok, rows, O)
+    t_ = jnp.where(ok, tgt, P)
+    k_ = jnp.where(ok, kp, N)
+    okf = ok.astype(m.n_obs.dtype)
+    drop = dict(mode="drop")
+    return m._replace(
+        obs_kf=m.obs_kf.at[r].set(slot, **drop),
+        obs_pt=m.obs_pt.at[r].set(tgt.astype(m.obs_pt.dtype), **drop),
+        obs_kp=m.obs_kp.at[r].set(kp.astype(m.obs_kp.dtype), **drop),
+        obs_uv=m.obs_uv.at[r].set(uv, **drop),
+        obs_inv_sigma2=m.obs_inv_sigma2.at[r].set(inv_s2, **drop),
+        obs_valid=m.obs_valid.at[r].set(True, **drop),
+        n_obs=m.n_obs.at[t_].add(okf, **drop),
+        kf_kp_pt=m.kf_kp_pt.at[slot, k_].set(
+            tgt.astype(jnp.int32), **drop),
+        pt_found=m.pt_found.at[t_].add(okf * add_stats, **drop),
+        pt_visible=m.pt_visible.at[t_].add(okf * add_stats, **drop),
+    )
+
+
+@jax.jit
+def _scatter_new_points(m: SlamMap, slot, nb, pslots, rows1, rows2,
+                        kp1, kp2, pts, uv1, uv2, inv1, inv2, birth, ok):
+    """Create new triangulated points (two observations each: neighbor
+    keyframe ``nb`` keypoint kp1, current keyframe ``slot`` keypoint kp2)
+    where ``ok``. Descriptors are gathered from the current keyframe's
+    snapshot. Padding lanes drop out of every scatter."""
+    O = m.obs_kf.shape[0]
+    P = m.pts.shape[0]
+    N = m.kf_kp_pt.shape[1]
+    s_ = jnp.where(ok, pslots, P)
+    r1 = jnp.where(ok, rows1, O)
+    r2 = jnp.where(ok, rows2, O)
+    k1 = jnp.where(ok, kp1, N)
+    k2 = jnp.where(ok, kp2, N)
+    desc = m.kf_kp_desc[slot][jnp.clip(kp2, 0, N - 1)]
+    pv = pslots.astype(m.obs_pt.dtype)
+    drop = dict(mode="drop")
+    one = jnp.ones_like(pslots, m.n_obs.dtype)
+    return m._replace(
+        pts=m.pts.at[s_].set(pts, **drop),
+        desc=m.desc.at[s_].set(desc, **drop),
+        pt_valid=m.pt_valid.at[s_].set(True, **drop),
+        n_obs=m.n_obs.at[s_].set(2 * one, **drop),
+        pt_birth_kf=m.pt_birth_kf.at[s_].set(
+            birth.astype(m.pt_birth_kf.dtype), **drop),
+        pt_visible=m.pt_visible.at[s_].set(one, **drop),
+        pt_found=m.pt_found.at[s_].set(one, **drop),
+        obs_kf=m.obs_kf.at[r1].set(nb, **drop).at[r2].set(slot, **drop),
+        obs_pt=m.obs_pt.at[r1].set(pv, **drop).at[r2].set(pv, **drop),
+        obs_kp=m.obs_kp.at[r1].set(kp1.astype(m.obs_kp.dtype), **drop)
+                        .at[r2].set(kp2.astype(m.obs_kp.dtype), **drop),
+        obs_uv=m.obs_uv.at[r1].set(uv1, **drop).at[r2].set(uv2, **drop),
+        obs_inv_sigma2=m.obs_inv_sigma2.at[r1].set(inv1, **drop)
+                                       .at[r2].set(inv2, **drop),
+        obs_valid=m.obs_valid.at[r1].set(True, **drop)
+                             .at[r2].set(True, **drop),
+        kf_kp_pt=m.kf_kp_pt
+            .at[nb, k1].set(pslots.astype(jnp.int32), **drop)
+            .at[slot, k2].set(pslots.astype(jnp.int32), **drop),
+    )
+
+
+@jax.jit
+def _jit_write_kf(m: SlamMap, slot, desc, octave, angle, valid, xy_un,
+                  kp_pt, R, t, frame_id):
+    """Keyframe pose + keypoint snapshot in ONE program (the eager
+    version issued ~10 separate device dispatches per insert)."""
+    N = m.kp_capacity
+    pad = N - valid.shape[0]
+    return m._replace(
+        kf_R=m.kf_R.at[slot].set(R),
+        kf_t=m.kf_t.at[slot].set(t),
+        kf_valid=m.kf_valid.at[slot].set(True),
+        kf_frame_id=m.kf_frame_id.at[slot].set(frame_id),
+        kf_kp_xy=m.kf_kp_xy.at[slot].set(
+            jnp.pad(xy_un, ((0, pad), (0, 0)))),
+        kf_kp_desc=m.kf_kp_desc.at[slot].set(
+            jnp.pad(desc, ((0, pad), (0, 0)))),
+        kf_kp_octave=m.kf_kp_octave.at[slot].set(jnp.pad(octave, (0, pad))),
+        kf_kp_angle=m.kf_kp_angle.at[slot].set(jnp.pad(angle, (0, pad))),
+        kf_kp_valid=m.kf_kp_valid.at[slot].set(jnp.pad(valid, (0, pad))),
+        kf_kp_pt=m.kf_kp_pt.at[slot].set(
+            jnp.pad(kp_pt, (0, pad), constant_values=-1)),
+    )
+
+
+@jax.jit
+def _jit_remove_kf(m: SlamMap, slot):
+    """Invalidate keyframe ``slot``: full-array masks, one program."""
+    hit = m.obs_valid & (m.obs_kf == slot)
+    dec = jnp.zeros_like(m.n_obs).at[m.obs_pt].add(
+        hit.astype(m.n_obs.dtype))
+    return m._replace(
+        obs_valid=m.obs_valid & ~hit,
+        n_obs=m.n_obs - dec,
+        kf_valid=m.kf_valid.at[slot].set(False),
+        kf_kp_pt=m.kf_kp_pt.at[slot].set(-1),
+        kf_kp_valid=m.kf_kp_valid.at[slot].set(False),
+    )
+
+
 @partial(jax.jit, static_argnames=())
 def _triangulate_world(R1, t1, R2, t2, K, x1, x2):
     """Triangulate matched undistorted pixels into world points given two
@@ -246,10 +375,6 @@ class Tracker:
             pt_birth_kf=m.pt_birth_kf.at[slots].set(0),
             pt_visible=m.pt_visible.at[slots].set(1),
             pt_found=m.pt_found.at[slots].set(1),
-            kf_R=m.kf_R.at[0].set(jnp.eye(3)).at[1].set(jnp.asarray(R21)),
-            kf_t=m.kf_t.at[0].set(jnp.zeros(3)).at[1].set(jnp.asarray(t21)),
-            kf_valid=m.kf_valid.at[0].set(True).at[1].set(True),
-            kf_frame_id=m.kf_frame_id.at[0].set(self.ref.frame_id).at[1].set(self.frame_id),
         )
         # observations for both keyframes
         uv0 = np.asarray(self.ref.xy_un)[p[:, 0]]
@@ -270,8 +395,13 @@ class Tracker:
         kp_pt0[p[:, 0]] = slots
         kp_pt1 = np.full(kps.valid.shape[0], -1, np.int32)
         kp_pt1[p[:, 1]] = slots
-        m = self._write_kf_snapshot(m, 0, self.ref.kps, self.ref.xy_un, kp_pt0)
-        m = self._write_kf_snapshot(m, 1, kps, xy_un, kp_pt1)
+        m = self._write_kf_snapshot(
+            m, 0, self.ref.kps, self.ref.xy_un, kp_pt0,
+            np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+            self.ref.frame_id)
+        m = self._write_kf_snapshot(
+            m, 1, kps, xy_un, kp_pt1, R21, t21.astype(np.float32),
+            self.frame_id)
         self.map = m
         self.n_kf = 2
         self.kf_insert_count = 2
@@ -390,30 +520,19 @@ class Tracker:
             or n_inliers < tcfg.min_tracked_inliers * 5
         )
 
-    def _write_kf_snapshot(self, m: SlamMap, slot: int, kps, xy_un, kp_pt):
-        """Store the frame's keypoints on the keyframe slot (the data
+    def _write_kf_snapshot(self, m: SlamMap, slot: int, kps, xy_un, kp_pt,
+                           R, t, frame_id):
+        """Store the keyframe's pose AND keypoint snapshot (the data
         ``Frame.hpp:79-93`` keeps per frame: mvKeysUn, mDescriptors,
-        mvpMapPoints). ``kp_pt``: [n] int32 map-point slot per keypoint."""
+        mvpMapPoints) in one jitted program. ``kp_pt``: [n] int32
+        map-point slot per keypoint."""
         N = m.kp_capacity
         n = kps.valid.shape[0]
         if n > N:
             raise ValueError(f"keypoint capacity {n} exceeds snapshot {N}")
-        pad = N - n
-        return m._replace(
-            kf_kp_xy=m.kf_kp_xy.at[slot].set(
-                jnp.pad(xy_un, ((0, pad), (0, 0)))),
-            kf_kp_desc=m.kf_kp_desc.at[slot].set(
-                jnp.pad(kps.desc, ((0, pad), (0, 0)))),
-            kf_kp_octave=m.kf_kp_octave.at[slot].set(
-                jnp.pad(kps.octave, (0, pad))),
-            kf_kp_angle=m.kf_kp_angle.at[slot].set(
-                jnp.pad(kps.angle_deg, (0, pad))),
-            kf_kp_valid=m.kf_kp_valid.at[slot].set(
-                jnp.pad(kps.valid, (0, pad))),
-            kf_kp_pt=m.kf_kp_pt.at[slot].set(
-                jnp.pad(jnp.asarray(kp_pt, jnp.int32), (0, pad),
-                        constant_values=-1)),
-        )
+        return _jit_write_kf(m, slot, kps.desc, kps.octave, kps.angle_deg,
+                             kps.valid, xy_un, jnp.asarray(kp_pt, jnp.int32),
+                             jnp.asarray(R), jnp.asarray(t), frame_id)
 
     def _insert_keyframe(self, kps, xy_un, assoc, timestamp=0.0) -> dict:
         """Insert the current frame as a keyframe, then run the
@@ -431,30 +550,29 @@ class Tracker:
         uv_np = np.asarray(xy_un)
         oct_np = np.asarray(kps.octave)
 
-        m = m._replace(
-            kf_R=m.kf_R.at[slot].set(jnp.asarray(self.R)),
-            kf_t=m.kf_t.at[slot].set(jnp.asarray(self.t)),
-            kf_valid=m.kf_valid.at[slot].set(True),
-            kf_frame_id=m.kf_frame_id.at[slot].set(self.frame_id),
-        )
         kp_pt = np.full(kps.valid.shape[0], -1, np.int32)
         kp_pt[kp_idx[tracked_pts]] = tracked_pts
-        m = self._write_kf_snapshot(m, slot, kps, xy_un, kp_pt)
+        # pose + snapshot in one jitted program (_jit_write_kf)
+        m = self._write_kf_snapshot(m, slot, kps, xy_un, kp_pt,
+                                    self.R, self.t, self.frame_id)
 
-        # observations of tracked points (recycled slots)
+        # observations of tracked points (recycled slots; one bucketed
+        # jitted scatter instead of an eager per-insert chain)
         rows = free_slots(m.obs_valid, len(tracked_pts))
         n_add = len(rows)
         if n_add > 0:
             sel = tracked_pts[:n_add]
             inv_s2 = (1.0 / cfg.orb.scale_factor ** (2 * oct_np[kp_idx[sel]])).astype(np.float32)
-            m = m._replace(
-                obs_kf=m.obs_kf.at[rows].set(slot),
-                obs_pt=m.obs_pt.at[rows].set(jnp.asarray(sel)),
-                obs_kp=m.obs_kp.at[rows].set(jnp.asarray(kp_idx[sel])),
-                obs_uv=m.obs_uv.at[rows].set(jnp.asarray(uv_np[kp_idx[sel]])),
-                obs_inv_sigma2=m.obs_inv_sigma2.at[rows].set(jnp.asarray(inv_s2)),
-                obs_valid=m.obs_valid.at[rows].set(True),
-                n_obs=m.n_obs.at[jnp.asarray(sel)].add(1),
+            cap = _pow2_bucket(n_add)
+            ok = np.arange(cap) < n_add
+            m = _scatter_obs(
+                m, slot,
+                jnp.asarray(_pad_to(rows.astype(np.int32), cap)),
+                jnp.asarray(_pad_to(sel.astype(np.int32), cap)),
+                jnp.asarray(_pad_to(kp_idx[sel].astype(np.int32), cap)),
+                jnp.asarray(_pad_to(uv_np[kp_idx[sel]].astype(np.float32), cap)),
+                jnp.asarray(_pad_to(inv_s2, cap)),
+                jnp.asarray(ok), 0,
             )
 
         self.map = m
@@ -571,21 +689,9 @@ class Tracker:
     def _remove_keyframe(self, slot: int) -> None:
         """Invalidate a keyframe: drop its observations, decrement its
         points' observation counts, clear its snapshot associations, and
-        unindex it from the BoW database."""
-        m = self.map
-        rows = np.where(np.asarray(m.obs_valid) & (np.asarray(m.obs_kf) == slot))[0]
-        if len(rows):
-            pts = np.asarray(m.obs_pt)[rows]
-            m = m._replace(
-                obs_valid=m.obs_valid.at[rows].set(False),
-                n_obs=m.n_obs.at[jnp.asarray(pts)].add(-1),
-            )
-        m = m._replace(
-            kf_valid=m.kf_valid.at[slot].set(False),
-            kf_kp_pt=m.kf_kp_pt.at[slot].set(-1),
-            kf_kp_valid=m.kf_kp_valid.at[slot].set(False),
-        )
-        self.map = m
+        unindex it from the BoW database. One fixed-shape jitted program
+        (full-array masks instead of data-dependent row scatters)."""
+        self.map = _jit_remove_kf(self.map, slot)
         if self.kf_db is not None:
             from ..bow.database import remove_keyframe
 
@@ -791,34 +897,34 @@ class Tracker:
 
         fused_idx = np.where(fuse_target >= 0)[0]
         new_idx = np.where(fuse_target < 0)[0]
+        obs_valid_np = np.array(m.obs_valid)  # writable host copy
 
         # fused candidates: associate the current keypoint to the existing
         # point (one extra observation for this keyframe)
         n_fused = 0
         if len(fused_idx):
-            rows = free_slots(m.obs_valid, len(fused_idx))
+            rows = free_slots(obs_valid_np, len(fused_idx))
             take = fused_idx[: len(rows)]
             tgt = fuse_target[take]
             inv_s2 = (1.0 / cfg.orb.scale_factor ** (2 * oct2[take])).astype(np.float32)
-            m = m._replace(
-                obs_kf=m.obs_kf.at[rows].set(slot),
-                obs_pt=m.obs_pt.at[rows].set(jnp.asarray(tgt)),
-                obs_kp=m.obs_kp.at[rows].set(jnp.asarray(i2[take])),
-                obs_uv=m.obs_uv.at[rows].set(jnp.asarray(x2[take].astype(np.float32))),
-                obs_inv_sigma2=m.obs_inv_sigma2.at[rows].set(jnp.asarray(inv_s2)),
-                obs_valid=m.obs_valid.at[rows].set(True),
-                n_obs=m.n_obs.at[jnp.asarray(tgt)].add(1),
-                kf_kp_pt=m.kf_kp_pt.at[slot, jnp.asarray(i2[take])].set(
-                    jnp.asarray(tgt, jnp.int32)),
-                pt_found=m.pt_found.at[jnp.asarray(tgt)].add(1),
-                pt_visible=m.pt_visible.at[jnp.asarray(tgt)].add(1),
-            )
             n_fused = len(take)
+            cap = _pow2_bucket(n_fused)
+            ok = np.arange(cap) < n_fused
+            m = _scatter_obs(
+                m, slot,
+                jnp.asarray(_pad_to(rows.astype(np.int32), cap)),
+                jnp.asarray(_pad_to(tgt.astype(np.int32), cap)),
+                jnp.asarray(_pad_to(i2[take].astype(np.int32), cap)),
+                jnp.asarray(_pad_to(x2[take].astype(np.float32), cap)),
+                jnp.asarray(_pad_to(inv_s2, cap)),
+                jnp.asarray(ok), 1,
+            )
+            obs_valid_np[rows] = True
 
         # genuinely new points
         free_pts = free_slots(m.pt_valid, len(new_idx))
         n_new = len(free_pts)
-        rows = free_slots(m.obs_valid, 2 * n_new)
+        rows = free_slots(obs_valid_np, 2 * n_new)
         n_new = min(n_new, len(rows) // 2)
         if n_new > 0:
             take = new_idx[:n_new]
@@ -829,27 +935,23 @@ class Tracker:
             uv2 = x2[take]
             inv1 = (1.0 / cfg.orb.scale_factor ** (2 * oct1[take])).astype(np.float32)
             inv2 = (1.0 / cfg.orb.scale_factor ** (2 * oct2[take])).astype(np.float32)
-            m = m._replace(
-                pts=m.pts.at[slots].set(jnp.asarray(pts[take].astype(np.float32))),
-                desc=m.desc.at[slots].set(m.kf_kp_desc[slot][jnp.asarray(i2[take])]),
-                pt_valid=m.pt_valid.at[slots].set(True),
-                n_obs=m.n_obs.at[slots].set(2),
-                pt_birth_kf=m.pt_birth_kf.at[slots].set(self.kf_insert_count),
-                pt_visible=m.pt_visible.at[slots].set(1),
-                pt_found=m.pt_found.at[slots].set(1),
-                obs_kf=m.obs_kf.at[rows1].set(nb).at[rows2].set(slot),
-                obs_pt=m.obs_pt.at[rows1].set(jnp.asarray(slots))
-                                 .at[rows2].set(jnp.asarray(slots)),
-                obs_kp=m.obs_kp.at[rows1].set(jnp.asarray(i1[take]))
-                                 .at[rows2].set(jnp.asarray(i2[take])),
-                obs_uv=m.obs_uv.at[rows1].set(jnp.asarray(uv1.astype(np.float32)))
-                               .at[rows2].set(jnp.asarray(uv2.astype(np.float32))),
-                obs_inv_sigma2=m.obs_inv_sigma2.at[rows1].set(jnp.asarray(inv1))
-                                               .at[rows2].set(jnp.asarray(inv2)),
-                obs_valid=m.obs_valid.at[rows1].set(True).at[rows2].set(True),
-                kf_kp_pt=m.kf_kp_pt
-                    .at[nb, jnp.asarray(i1[take])].set(jnp.asarray(slots, jnp.int32))
-                    .at[slot, jnp.asarray(i2[take])].set(jnp.asarray(slots, jnp.int32)),
+            cap = _pow2_bucket(n_new)
+            ok = np.arange(cap) < n_new
+            birth = np.full(cap, self.kf_insert_count, np.int32)
+            m = _scatter_new_points(
+                m, slot, nb,
+                jnp.asarray(_pad_to(slots.astype(np.int32), cap)),
+                jnp.asarray(_pad_to(rows1.astype(np.int32), cap)),
+                jnp.asarray(_pad_to(rows2.astype(np.int32), cap)),
+                jnp.asarray(_pad_to(i1[take].astype(np.int32), cap)),
+                jnp.asarray(_pad_to(i2[take].astype(np.int32), cap)),
+                jnp.asarray(_pad_to(pts[take].astype(np.float32), cap)),
+                jnp.asarray(_pad_to(uv1.astype(np.float32), cap)),
+                jnp.asarray(_pad_to(uv2.astype(np.float32), cap)),
+                jnp.asarray(_pad_to(inv1, cap)),
+                jnp.asarray(_pad_to(inv2, cap)),
+                jnp.asarray(birth),
+                jnp.asarray(ok),
             )
         self.map = m
         return int(n_new), int(n_fused)
@@ -861,10 +963,22 @@ class Tracker:
         from ..bow.vocabulary import build_vocabulary, load_vocabulary
 
         tcfg = self.cfg.tracker
-        if tcfg.vocab_path is not None:
+        path = tcfg.vocab_path
+        if path == "bundled":
+            # default: the corpus-trained artifact shipped with the package
+            # (the reference's workflow ships a pretrained ORBvoc the same
+            # way); fall back to one-frame training if it is absent
+            import os as _os
+
+            path = _os.path.join(
+                _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                "data", "orbvoc_synth_k10_L4.npz")
+            if not _os.path.exists(path):
+                path = None
+        if path is not None:
             # Pretrained-artifact path (the reference's workflow: ORBvoc
             # loaded at System construction, TemplatedVocabulary.h:229-265).
-            self.vocab = load_vocabulary(tcfg.vocab_path)
+            self.vocab = load_vocabulary(path)
         else:
             train = _np.asarray(kps.desc)[_np.asarray(kps.valid)]
             self.vocab = build_vocabulary(
