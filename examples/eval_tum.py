@@ -115,6 +115,13 @@ def main():
         state = out.get("state", "?")
         if state == "LOST":
             n_lost += 1
+        loop = out.get("loop")
+        if loop and loop not in ("no candidate", "cooldown"):
+            print(f"[{i + 1}] loop closing: {loop} "
+                  f"(edges={out.get('loop_edges')}, "
+                  f"fused={out.get('loop_fused')}, "
+                  f"gba_cost {out.get('gba_cost0')}->{out.get('gba_cost')})",
+                  flush=True)
         if i % 25 == 0 or i == len(frames) - 1:
             print(f"[{i + 1}/{len(frames)}] state={state} "
                   f"kps={out.get('n_kps', '?')} "
