@@ -203,6 +203,68 @@ def _triangulate_world(R1, t1, R2, t2, K, x1, x2):
     return triangulate_dlt(P1, P2, x1[None], x2[None])[0]
 
 
+@partial(jax.jit, static_argnames=("mcfg", "scale_factor"))
+def _covis_match_triangulate(nb_desc, nb_xy, nb_oct, nb_ang, nb_valid,
+                             cur_desc, cur_xy, cur_oct, cur_ang, cur_valid,
+                             R_nb, t_nb, R_cur, t_cur, K,
+                             mcfg, scale_factor: float):
+    """CreateNewMapPoints' heavy work for ALL covisible neighbors in one
+    program: epipolar-gated matching (SearchForTriangulation), DLT
+    triangulation, and the cheirality / per-octave reprojection-chi2 /
+    parallax vetting — vmapped over the neighbor axis, so a keyframe
+    insert costs ONE device round trip for matching+triangulation
+    instead of three per neighbor.
+
+    Returns per-neighbor [B, N1]: matches (into the current keyframe's
+    keypoints), world points, and the vet mask.
+    """
+    from ..geometry.fundamental import fundamental_from_poses
+    from ..geometry.triangulate import triangulate_dlt
+
+    def per(nbd, nbxy, nboct, nbang, nbv, Rn, tn):
+        F21 = fundamental_from_poses(Rn, tn, R_cur, t_cur, K)
+        res = search_for_triangulation(
+            nbd, nbxy, nboct, nbang, nbv,
+            cur_desc, cur_xy, cur_oct, cur_ang, cur_valid,
+            F21, mcfg, scale_factor,
+        )
+        m12 = res.matches12                     # [N1]
+        has = m12 >= 0
+        i2 = jnp.clip(m12, 0)
+        x2 = cur_xy[i2]
+        P1 = (K @ jnp.concatenate([Rn, tn[:, None]], axis=1))
+        P2 = (K @ jnp.concatenate([R_cur, t_cur[:, None]], axis=1))
+        pts = triangulate_dlt(P1[None], P2[None], nbxy[None], x2[None])[0]
+
+        def chi2(R, t, uv):
+            pc = pts @ R.T + t
+            z = pc[:, 2]
+            zi = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+            u = K[0, 0] * pc[:, 0] / zi + K[0, 2]
+            v = K[1, 1] * pc[:, 1] / zi + K[1, 2]
+            return (u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2, z
+
+        err1, z1 = chi2(Rn, tn, nbxy)
+        err2, z2 = chi2(R_cur, t_cur, x2)
+        s2_1 = scale_factor ** (2.0 * nboct.astype(jnp.float32))
+        s2_2 = scale_factor ** (2.0 * cur_oct[i2].astype(jnp.float32))
+        o1 = -Rn.T @ tn
+        o2 = -R_cur.T @ t_cur
+        r1 = pts - o1
+        r2 = pts - o2
+        cosp = jnp.sum(r1 * r2, -1) / jnp.maximum(
+            jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1),
+            1e-12)
+        ok = (has & jnp.isfinite(pts).all(-1)
+              & (z1 > 0.05) & (z2 > 0.05)
+              & (err1 < 5.991 * s2_1) & (err2 < 5.991 * s2_2)
+              & (cosp < 0.9998))
+        return m12, pts, ok
+
+    return jax.vmap(per)(nb_desc, nb_xy, nb_oct, nb_ang, nb_valid,
+                         R_nb, t_nb)
+
+
 def _reproj_chi2(R, t, K, pts, uv):
     pc = pts @ np.asarray(R).T + np.asarray(t)
     z = pc[:, 2]
@@ -783,11 +845,50 @@ class Tracker:
         R_cur = np.asarray(m.kf_R[slot])
         t_cur = np.asarray(m.kf_t[slot])
         K_np = np.asarray(self.K)
+        if not neighbors:
+            return 0, 0
 
+        # ---- ONE device program for every neighbor: epipolar matching +
+        # triangulation + vetting, vmapped over the neighbor axis ----
+        kf_kp_pt_now = kf_kp_pt
+        cur_free = kf_kp_pt_now[slot] < 0
+        nbs = np.asarray(neighbors, np.int64)
+        nb_free = kf_kp_pt_now[nbs] < 0                       # [B, N]
+        nb_idx = jnp.asarray(nbs)
+        m12_b, pts_b, ok_b = _covis_match_triangulate(
+            m.kf_kp_desc[nb_idx], m.kf_kp_xy[nb_idx],
+            m.kf_kp_octave[nb_idx], m.kf_kp_angle[nb_idx],
+            m.kf_kp_valid[nb_idx] & jnp.asarray(nb_free),
+            m.kf_kp_desc[slot], m.kf_kp_xy[slot], m.kf_kp_octave[slot],
+            m.kf_kp_angle[slot],
+            m.kf_kp_valid[slot] & jnp.asarray(cur_free),
+            m.kf_R[nb_idx], m.kf_t[nb_idx],
+            jnp.asarray(R_cur), jnp.asarray(t_cur), self.K,
+            cfg.matcher, cfg.orb.scale_factor,
+        )
+        m12_b = np.asarray(m12_b)
+        pts_b = np.asarray(pts_b)
+        ok_b = np.asarray(ok_b)
+        nb_xy_np = np.asarray(m.kf_kp_xy[nb_idx])
+        nb_oct_np = np.asarray(m.kf_kp_octave[nb_idx])
+        cur_xy_np = np.asarray(m.kf_kp_xy[slot])
+        cur_oct_np = np.asarray(m.kf_kp_octave[slot])
+        kp_desc_cur = np.asarray(m.kf_kp_desc[slot])
+        fuse_r2 = tcfg.fuse_radius_px ** 2
+
+        # host-side sequential consumption (the reference processes
+        # neighbors in order: a current-keyframe keypoint consumed by an
+        # earlier neighbor's creation/fusion is excluded for later ones)
+        consumed = np.zeros(cur_xy_np.shape[0], bool)
         n_new_total = 0
         n_fused = 0
-        for nb in neighbors:
+        for b, nb in enumerate(neighbors):
             m = self.map
+            ok = ok_b[b] & ~consumed[np.clip(m12_b[b], 0, None)]
+            i1 = np.where(ok)[0]
+            if len(i1) == 0:
+                continue
+            i2 = m12_b[b][i1]
             # projections of existing points into the current frame, for
             # fuse — refreshed EVERY neighbor iteration so points created
             # against an earlier neighbor are visible to the duplicate
@@ -798,66 +899,13 @@ class Tracker:
             proj = (pc[:, :2] / zs) @ K_np[:2, :2].T + K_np[:2, 2]
             proj_ok = np.asarray(m.pt_valid) & (pc[:, 2] > 0.05)
             map_desc_np = np.asarray(m.desc)
-            kf_kp_pt_now = np.asarray(m.kf_kp_pt)
-            cur_free = kf_kp_pt_now[slot] < 0
-            nb_free = kf_kp_pt_now[nb] < 0
-            from ..geometry.fundamental import fundamental_from_poses
-
-            R_nb = np.asarray(m.kf_R[nb])
-            t_nb = np.asarray(m.kf_t[nb])
-            F21 = fundamental_from_poses(
-                jnp.asarray(R_nb), jnp.asarray(t_nb),
-                jnp.asarray(R_cur), jnp.asarray(t_cur), self.K,
-            )
-            res = search_for_triangulation(
-                m.kf_kp_desc[nb], m.kf_kp_xy[nb], m.kf_kp_octave[nb],
-                m.kf_kp_angle[nb], m.kf_kp_valid[nb] & jnp.asarray(nb_free),
-                m.kf_kp_desc[slot], m.kf_kp_xy[slot], m.kf_kp_octave[slot],
-                m.kf_kp_angle[slot], m.kf_kp_valid[slot] & jnp.asarray(cur_free),
-                F21, cfg.matcher, cfg.orb.scale_factor,
-            )
-            m12 = np.asarray(res.matches12)
-            i1 = np.where(m12 >= 0)[0]
-            if len(i1) == 0:
-                continue
-            i2 = m12[i1]
-            x1 = np.asarray(m.kf_kp_xy[nb])[i1]
-            x2 = np.asarray(m.kf_kp_xy[slot])[i2]
-            pts = np.asarray(
-                _triangulate_world(
-                    jnp.asarray(R_nb), jnp.asarray(t_nb),
-                    jnp.asarray(R_cur), jnp.asarray(t_cur), self.K,
-                    jnp.asarray(x1), jnp.asarray(x2),
-                )
-            )
-            # vet: cheirality, per-octave reprojection chi2, parallax
-            oct1 = np.asarray(m.kf_kp_octave[nb])[i1]
-            oct2 = np.asarray(m.kf_kp_octave[slot])[i2]
-            s2_1 = cfg.orb.scale_factor ** (2.0 * oct1)
-            s2_2 = cfg.orb.scale_factor ** (2.0 * oct2)
-            err1, z1 = _reproj_chi2(R_nb, t_nb, self.K, pts, x1)
-            err2, z2 = _reproj_chi2(R_cur, t_cur, self.K, pts, x2)
-            o1 = -R_nb.T @ t_nb
-            o2 = -R_cur.T @ t_cur
-            r1 = pts - o1
-            r2 = pts - o2
-            cosp = np.sum(r1 * r2, -1) / np.maximum(
-                np.linalg.norm(r1, axis=-1) * np.linalg.norm(r2, axis=-1),
-                1e-12,
-            )
-            ok = (
-                np.isfinite(pts).all(-1)
-                & (z1 > 0.05) & (z2 > 0.05)
-                & (err1 < 5.991 * s2_1) & (err2 < 5.991 * s2_2)
-                & (cosp < 0.9998)
-            )
-            # fuse: candidate duplicates an existing point's projection
-            kp_desc_cur = np.asarray(m.kf_kp_desc[slot])
-            fuse_r2 = tcfg.fuse_radius_px ** 2
             created, fused = self._insert_triangulated(
-                slot, nb, i1[ok], i2[ok], pts[ok], oct1[ok], oct2[ok],
-                proj, proj_ok, map_desc_np, kp_desc_cur, x2[ok], fuse_r2,
+                slot, nb, i1, i2, pts_b[b][i1],
+                nb_oct_np[b][i1], cur_oct_np[i2],
+                proj, proj_ok, map_desc_np, kp_desc_cur,
+                cur_xy_np[i2], fuse_r2,
             )
+            consumed[i2] = True
             n_new_total += created
             n_fused += fused
         return n_new_total, n_fused
