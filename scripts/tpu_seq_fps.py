@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""End-to-end sequence throughput WITH keyframe work, on chip.
+
+The device loop (slam/device_mapping.py) runs tracking INCLUDING the
+keyframe lifecycle (snapshot, observations, covisibility triangulation,
+fusion, culling, windowed BA) as one jitted scan — so the honest
+"sequence frames/s including keyframes" number is measurable through
+the wedgy relay with TWO compiles: the same program at scan lengths T1
+and T2; fps = (T2 - T1) / (t2 - t1) cancels the constant dispatch/fetch
+and compile-cache costs.
+
+Orchestration mirrors bench.py: a CPU child bootstraps the map with the
+host Tracker on a rendered sequence and saves the pytree; the TPU child
+loads it and measures. Usage:
+  python scripts/tpu_seq_fps.py              # orchestrate (CPU seed + TPU)
+  python scripts/tpu_seq_fps.py --child seed OUT.npz
+  python scripts/tpu_seq_fps.py --child tpu SEED.npz OUT.json
+Env: ORB_SEQ_CPU=1 runs the measure child on the CPU backend (debug).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+T1, T2 = 48, 192
+N_FRAMES = 260
+
+
+def _cfg():
+    from orb_slam_tracking_tpu.config import (
+        CameraConfig,
+        OrbConfig,
+        SystemConfig,
+        TrackerConfig,
+    )
+
+    cam = CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=240.0,
+                       width=640, height=480)
+    return SystemConfig(
+        camera=cam,
+        orb=OrbConfig(n_features=1000),
+        tracker=TrackerConfig(
+            max_map_points=8192, max_keyframes=24, ba_window=8,
+            use_loop_closing=False, use_bow=False,
+        ),
+    )
+
+
+def _frames(cfg):
+    from orb_slam_tracking_tpu.utils.synthetic import (
+        CornerField,
+        make_trajectory,
+        render_frame,
+    )
+
+    rng = np.random.default_rng(0)
+    field = CornerField(rng, n=1200, x=(-6.0, 6.0))
+    poses = make_trajectory(N_FRAMES, "strafe")
+    return [render_frame(field, cfg.camera, R, t) for R, t in poses]
+
+
+def child_seed(out):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from orb_slam_tracking_tpu.slam import Tracker, TrackState
+
+    cfg = _cfg()
+    frames = _frames(cfg)
+    tr = Tracker(cfg)
+    i = 0
+    while i < N_FRAMES and tr.state != TrackState.WORKING:
+        tr.track(frames[i], i / 30.0)
+        i += 1
+    assert tr.state == TrackState.WORKING, "bootstrap failed"
+    m = tr.map
+    arrays = {f"map_{k}": np.asarray(v) for k, v in m._asdict().items()}
+    np.savez_compressed(
+        out, boot_end=i, R=tr.R, t=tr.t, K=np.asarray(tr.K),
+        frame_id=tr.frame_id, kf_count=tr.kf_insert_count,
+        ref_inliers=max(tr.kf_ref_inliers, 1),
+        frames=np.stack(frames[i:]).astype(np.float32), **arrays)
+    print(f"[seq-seed] bootstrapped at frame {i}", file=sys.stderr)
+
+
+def child_tpu(seed_path, out_path):
+    import jax
+
+    if os.environ.get("ORB_SEQ_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from orb_slam_tracking_tpu.slam.device_mapping import (
+        make_device_sequence_loop,
+    )
+    from orb_slam_tracking_tpu.slam.map import SlamMap
+
+    z = np.load(seed_path)
+    m = SlamMap(**{k: jnp.asarray(z[f"map_{k}"])
+                   for k in SlamMap._fields})
+    cfg = _cfg()
+    run = make_device_sequence_loop(
+        cfg.camera, cfg.orb, cfg.matcher, cfg.tracker,
+        tri_cap=128, obs_cap=512)
+    frames = z["frames"]
+    assert len(frames) >= T2
+    args = (m, jnp.asarray(z["R"]), jnp.asarray(z["t"]),
+            jnp.asarray(z["K"]), jnp.int32(int(z["frame_id"]) + 1),
+            jnp.int32(int(z["kf_count"])), jnp.int32(int(z["ref_inliers"])))
+
+    def probe(mf, outs):
+        return float(
+            jnp.sum(outs.R) + jnp.sum(outs.t)
+            + jnp.sum(outs.n_inliers) + jnp.sum(outs.n_kps)
+            + jnp.sum(outs.inserted_kf) + jnp.sum(outs.lost)
+            + jnp.sum(mf.pts) + jnp.sum(mf.obs_valid))
+
+    def measure(T):
+        imgs = jnp.asarray(frames[:T])
+        mf, outs = run(imgs, *args)      # compile + warm
+        _ = probe(mf, outs)
+        t0 = time.time()
+        mf, outs = run(imgs, *args)
+        _ = probe(mf, outs)
+        el1 = time.time() - t0
+        t0 = time.time()
+        mf, outs = run(imgs, *args)
+        p = probe(mf, outs)
+        el = min(el1, time.time() - t0)
+        n_kf = int(jnp.sum(outs.inserted_kf))
+        n_lost = int(jnp.sum(outs.lost))
+        return el, n_kf, n_lost, p
+
+    e1, kf1, lost1, _ = measure(T1)
+    e2, kf2, lost2, _ = measure(T2)
+    per = (e2 - e1) / (T2 - T1)
+    if e2 <= e1 or per <= 0:
+        per = e2 / T2
+    res = {
+        "metric": "sequence_fps_with_keyframes_per_chip",
+        "value": round(1.0 / per, 2),
+        "unit": "frames/s",
+        "ms_per_frame": round(per * 1e3, 3),
+        "keyframes_in_T2": kf2,
+        "lost_in_T2": lost2,
+        "T": [T1, T2],
+        "wall_s": [round(e1, 3), round(e2, 3)],
+    }
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(res, f)
+    os.replace(tmp, out_path)
+    print(json.dumps(res))
+
+
+def main():
+    argv = sys.argv[1:]
+    if argv[:1] == ["--child"]:
+        if argv[1] == "seed":
+            return child_seed(argv[2])
+        if argv[1] == "tpu":
+            return child_tpu(argv[2], argv[3])
+        raise SystemExit(f"unknown child {argv[1]}")
+    seed = "/tmp/seq_fps_seed.npz"
+    out = "/tmp/seq_fps.json"
+    me = os.path.abspath(__file__)
+    if not os.path.exists(seed):
+        subprocess.run([sys.executable, me, "--child", "seed", seed],
+                       timeout=1800, check=True)
+    subprocess.run([sys.executable, me, "--child", "tpu", seed, out],
+                   timeout=1500, check=False)
+    if os.path.exists(out):
+        print(open(out).read())
+
+
+if __name__ == "__main__":
+    main()
