@@ -31,6 +31,7 @@ from ..optim.pose_opt import optimize_pose
 __all__ = [
     "MultiseqResult", "make_multiseq_step", "make_dp_mesh",
     "make_multiseq_sequence_runner", "make_multiseq_init_runner",
+    "make_multiseq_mapping_runner",
 ]
 
 
@@ -360,5 +361,55 @@ def make_multiseq_init_runner(
             "map_pts": mp, "map_desc": md, "map_valid": mv,
             "R": Rs, "t": ts, "state": states, "n_matches": n_out,
         }
+
+    return run
+
+
+def make_multiseq_mapping_runner(
+    mesh: Mesh,
+    cam_cfg,
+    orb_cfg: OrbConfig,
+    matcher_cfg: MatcherConfig,
+    tracker_cfg,
+    tri_cap: int = 128,
+    obs_cap: int = 512,
+):
+    """Data-parallel sequences with GROWING per-sequence maps: the full
+    device-side local-mapping loop (``slam/device_mapping.py`` — fused
+    tracking step + keyframe lifecycle incl. triangulation, fusion,
+    culling and windowed BA) vmapped over the sequence axis and sharded
+    over the mesh's ``dp`` axis. Each sequence carries its own
+    fixed-capacity ``SlamMap``; there are no collectives (maps are
+    independent), so scaling is embarrassing by construction.
+
+    Note: under ``vmap`` the keyframe ``lax.cond`` lowers to a select —
+    every sequence pays the insert branch every frame. That is the SPMD
+    price for divergent control flow; the single-sequence loop pays it
+    only on keyframe frames.
+
+    Returned signature:
+      run(images [B,T,H,W], m0: SlamMap with leading [B] on every leaf,
+          R0 [B,3,3], t0 [B,3], K [3,3], frame_id0 [B], kf_count0 [B],
+          kf_ref_inliers0 [B])
+      -> (SlamMap [B, ...], DeviceLoopOutputs [B, T, ...])
+    """
+    from ..slam.device_mapping import make_device_sequence_loop
+
+    run1 = make_device_sequence_loop(
+        cam_cfg, orb_cfg, matcher_cfg, tracker_cfg,
+        tri_cap=tri_cap, obs_cap=obs_cap,
+    )
+    batched = jax.vmap(run1, in_axes=(0, 0, 0, 0, None, 0, 0, 0))
+
+    dp = NamedSharding(mesh, P("dp"))
+    repl = NamedSharding(mesh, P())
+
+    @partial(
+        jax.jit,
+        in_shardings=(dp, dp, dp, dp, repl, dp, dp, dp),
+        out_shardings=(dp, dp),
+    )
+    def run(images, m0, R0, t0, K, frame_id0, kf_count0, ref0):
+        return batched(images, m0, R0, t0, K, frame_id0, kf_count0, ref0)
 
     return run

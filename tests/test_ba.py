@@ -151,3 +151,36 @@ def test_bounded_free_cam_window_matches_full(rng):
             np.asarray(bounded.pts), np.asarray(full.pts), atol=1e-5
         )
         assert abs(float(bounded.cost) - float(full.cost)) < 1e-3
+
+
+def test_overflow_free_cams_demoted_to_fixed(rng):
+    """Free cameras beyond max_free_cams must be treated as FIXED (zero
+    update) — not silently collapsed into the last compact slot (advisor
+    finding, round 2): their poses stay exactly at the input, and the
+    in-window cameras still improve."""
+    import jax.numpy as jnp
+
+    from orb_slam_tracking_tpu.utils.synthetic import synthetic_ba_problem
+
+    nK, nP = 8, 256
+    pts0, kf_R0, kf_t0, obs_kf, obs_pt, obs_uv, K = synthetic_ba_problem(
+        7, nK, nP
+    )
+    O = nK * nP
+    fixed = np.zeros(nK, bool)
+    fixed[0] = True
+    args = (
+        jnp.asarray(kf_R0), jnp.asarray(kf_t0), jnp.asarray(pts0),
+        jnp.asarray(obs_kf), jnp.asarray(obs_pt), jnp.asarray(obs_uv),
+        jnp.ones(O), jnp.ones(O, bool), jnp.asarray(fixed),
+        jnp.ones(nP, bool), jnp.asarray(K),
+    )
+    # 7 free cameras, window of 3: free ranks 3.. (cams 4..7) overflow
+    res = bundle_adjust(*args, iterations=6, max_free_cams=3)
+    # overflow cameras (free ranks >= 3 -> kf indices 4..7) are untouched
+    np.testing.assert_array_equal(
+        np.asarray(res.kf_R)[4:], kf_R0[4:])
+    np.testing.assert_array_equal(
+        np.asarray(res.kf_t)[4:], kf_t0[4:])
+    # the solve still reduces cost (window cams + points moved)
+    assert float(res.cost) < float(res.cost0)
