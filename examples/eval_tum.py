@@ -50,6 +50,12 @@ def main():
                     help="disable BoW relocalization (faster startup)")
     ap.add_argument("--rpe-delta", type=int, default=30,
                     help="RPE frame gap (30 = 1 s at TUM frame rate)")
+    ap.add_argument("--device-loop", action="store_true",
+                    help="after the host bootstrap reaches WORKING, run "
+                         "the remaining frames through the one-scan "
+                         "device-side mapping loop "
+                         "(slam/device_mapping.py) instead of the host "
+                         "tracker")
     args = ap.parse_args()
 
     import jax
@@ -106,7 +112,53 @@ def main():
     frame_ms = []            # per-frame wall time (host+device, everything)
     kf_frame = []            # did this frame insert a keyframe?
     import time as _time
-    for i, (ts, path) in enumerate(frames):
+
+    if args.device_loop:
+        import jax.numpy as jnp
+
+        from orb_slam_tracking_tpu.slam.device_mapping import (
+            make_device_sequence_loop,
+        )
+        from orb_slam_tracking_tpu.slam.tracker import TrackState
+
+        # host bootstrap: two-view init + first keyframes
+        i = 0
+        while i < len(frames) and tracker.state != TrackState.WORKING:
+            ts, path = frames[i]
+            tracker.track(load_gray(path), ts)
+            i += 1
+        if tracker.state != TrackState.WORKING:
+            print("bootstrap never reached WORKING", file=sys.stderr)
+            return 1
+        print(f"bootstrap reached WORKING at frame {i}; device loop "
+              f"takes over for {len(frames) - i} frames", flush=True)
+        imgs = np.stack([load_gray(p) for _, p in frames[i:]])
+        run = make_device_sequence_loop(
+            cfg.camera, cfg.orb, cfg.matcher, cfg.tracker,
+            tri_cap=128, obs_cap=512)
+        t0 = _time.time()
+        m_final, outs = run(
+            jnp.asarray(imgs.astype(np.float32)), tracker.map,
+            jnp.asarray(tracker.R), jnp.asarray(tracker.t), tracker.K,
+            jnp.int32(tracker.frame_id + 1),
+            jnp.int32(tracker.kf_insert_count),
+            jnp.int32(max(tracker.kf_ref_inliers, 1)))
+        lost = np.asarray(outs.lost)
+        wall = _time.time() - t0
+        n_lost = int(lost.sum())
+        Rs, ts_arr = np.asarray(outs.R), np.asarray(outs.t)
+        for k in range(len(Rs)):
+            tracker.trajectory.append(
+                (tracker.frame_id + 1 + k, frames[i + k][0],
+                 Rs[k], ts_arr[k]))
+        n_kf = int(np.asarray(outs.inserted_kf).sum())
+        print(f"device loop: {len(Rs)} frames in {wall:.1f} s "
+              f"(incl. compile), {n_kf} keyframes, {n_lost} lost")
+        frames_done = True
+    else:
+        frames_done = False
+
+    for i, (ts, path) in enumerate(frames if not frames_done else []):
         img = load_gray(path)
         t0 = _time.time()
         out = tracker.track(img, ts)
