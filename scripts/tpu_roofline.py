@@ -30,9 +30,9 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 SCAN = 8
-PEAK_BF16 = 197e12
-PEAK_F32 = 49e12
-PEAK_HBM = 819e9
+PEAK_BF16 = 197e12          # v5e MXU bf16
+PEAK_F32 = 3.9e12           # v5e VPU f32 (8x128 lanes x 4 ALUs x ~0.94 GHz)
+PEAK_HBM = 819e9            # v5e HBM bandwidth
 
 
 def timed(fn, arg, fetch, n1=4, n2=12):
@@ -170,8 +170,9 @@ def _stage(name):
                 body, x, None, length=SCAN)
             return out
 
-        # two {0,1} bf16 matmuls over the 256-bit planes
-        flops = 2 * 2 * Nq * Nm * 256
+        # ONE {0,1} bf16 matmul over the 256-bit planes (hamming =
+        # pop(a) + pop(b) - 2 a.b, see hamming_matrix_bf16)
+        flops = 2 * Nq * Nm * 256
         nbytes = (Nq * 256 + Nm * 256) * 2 + Nq * Nm * 4
         return chained, jnp.float32(0.0), float, flops, nbytes, "bf16"
 
@@ -241,15 +242,64 @@ def orchestrate(outdir, stages):
     print(json.dumps(rows, indent=1))
 
 
+def analytic():
+    """Print the analytic work model per stage (no device needed): FLOPs,
+    HBM bytes, and the v5e roofline-minimum time max(compute, bandwidth).
+    Shapes come from the real atlas layout at the benchmark operating
+    point, so the numbers are exact for the programs the bench runs."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from orb_slam_tracking_tpu.config import OrbConfig
+    from orb_slam_tracking_tpu.ops import atlas as A
+
+    cfg = OrbConfig(n_features=2000, max_keypoints=2048)
+    lay = A.atlas_layout(480, 640, cfg)
+    px = (lay.canvas_h + 2 * A._PAD) * (lay.canvas_w + 2 * A._PAD)
+    N = cfg.max_keypoints
+    rows = []
+
+    def add(stage, flops, nbytes, flavor, note):
+        peak = PEAK_BF16 if flavor == "bf16" else PEAK_F32
+        t_c = flops / peak
+        t_b = nbytes / PEAK_HBM
+        rows.append({
+            "stage": stage, "gflops": round(flops / 1e9, 3),
+            "mbytes": round(nbytes / 1e6, 2),
+            "roofline_min_us": round(max(t_c, t_b) * 1e6, 1),
+            "bound": "compute" if t_c > t_b else "bandwidth",
+            "flavor": flavor, "note": note,
+        })
+
+    add("fast", px * 190, 8 * px, "f32",
+        "16 ring taps x2 polarities + 9-window arc reduction per px")
+    add("moments", px * 190, 12 * px, "f32",
+        "incremental disc sums, ~95 shifted adds x2 moments")
+    add("blur", px * 14, 8 * px, "f32", "7x7 separable shifted adds")
+    add("brief", N * 2 * 2 * 256 * 48 * 128, N * (48 * 128 * 4 + 256 * 4),
+        "bf16", "per-kp 48x128 patch DMA + hi/lo one-hot contractions")
+    add("hamming", 2 * 8192 * 1024 * 256,
+        (8192 + 1024) * 256 * 2 + 8192 * 1024 * 4, "bf16",
+        "one {0,1} bit-plane matmul at the tracking shape")
+    print(json.dumps({"canvas_px": px, "v5e_peaks":
+                      {"bf16_tflops": PEAK_BF16 / 1e12,
+                       "f32_vpu_tflops": PEAK_F32 / 1e12,
+                       "hbm_gbs": PEAK_HBM / 1e9},
+                      "stages": rows}, indent=1))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true")
+    ap.add_argument("--analytic", action="store_true")
     ap.add_argument("--stage")
     ap.add_argument("out", nargs="?")
     ap.add_argument("--outdir", default="/tmp/roofline")
     ap.add_argument("--stages", default=",".join(STAGES))
     a = ap.parse_args()
-    if a.stage:
+    if a.analytic:
+        analytic()
+    elif a.stage:
         child(a.stage, a.out or os.path.join(a.outdir, a.stage + ".json"))
     elif a.all:
         orchestrate(a.outdir, a.stages.split(","))
