@@ -326,6 +326,37 @@ class _Orchestrator:
                   file=sys.stderr, flush=True)
             time.sleep(t)
 
+    def _relay_up(self):
+        """True iff something listens on the axon relay's first port.
+        When the relay process is absent (observed: it is spawned
+        outside the container and can disappear), every TPU client
+        hangs at backend init forever — burning child timeouts is
+        pointless; cheap socket polling is the right wait."""
+        import socket
+
+        if os.environ.get("ORB_BENCH_CPU") == "1":
+            return True  # CPU debug mode needs no relay
+        try:
+            with socket.create_connection(("127.0.0.1", 8082), timeout=2):
+                return True
+        except OSError:
+            return False
+
+    def _wait_for_relay(self, reserve=700.0):
+        """If the relay is down, poll until it appears or only
+        `reserve` seconds of budget remain. Returns relay state."""
+        if self._relay_up():
+            return True
+        print("[bench] relay port 8082 not listening — polling",
+              file=sys.stderr, flush=True)
+        self.errors.append("relay absent at start")
+        while self.deadline - time.time() > reserve:
+            time.sleep(20)
+            if self._relay_up():
+                self.errors.append("relay came back")
+                return True
+        return self._relay_up()
+
     def _warn_other_python(self):
         """The relay wedges when two clients race; warn if another python
         process is alive (we cannot kill it — patterns lie)."""
@@ -403,18 +434,27 @@ class _Orchestrator:
             print("[bench] using synthetic fallback seed",
                   file=sys.stderr, flush=True)
 
+        # don't burn child timeouts against an absent relay — poll the
+        # socket until it listens or the budget is nearly gone
+        if not self._wait_for_relay():
+            self.errors.append("relay never came up — no TPU attempt")
+            self._emit()
+            return 0
+
         # primary attempt: both metrics, one TPU process, 2 jits
         self._run_child(
             ["--child", "tpu", self.outdir, "--metrics", "track,extract",
              "--seed", seed_path], 650, "tpu(track+extract)")
 
         # retries, per-metric (1 jit each), after a quiet period
-        if self._read("track") is None and self._remaining() > 240:
+        if (self._read("track") is None and self._remaining() > 240
+                and self._relay_up()):
             self._sleep_quiet(150)
             self._run_child(
                 ["--child", "tpu", self.outdir, "--metrics", "track",
                  "--seed", seed_path], 520, "tpu(track retry)")
-        if self._read("extract") is None and self._remaining() > 240:
+        if (self._read("extract") is None and self._remaining() > 240
+                and self._relay_up()):
             self._sleep_quiet(90)
             self._run_child(
                 ["--child", "tpu", self.outdir, "--metrics", "extract",
