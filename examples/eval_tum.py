@@ -50,6 +50,13 @@ def main():
                     help="disable BoW relocalization (faster startup)")
     ap.add_argument("--rpe-delta", type=int, default=30,
                     help="RPE frame gap (30 = 1 s at TUM frame rate)")
+    ap.add_argument("--max-keyframes", type=int, default=None,
+                    help="override TrackerConfig.max_keyframes (static map "
+                         "capacity). Size it to the sequence: loop closing "
+                         "needs the revisited keyframes still resident, so "
+                         "a long circuit needs more slots than the default")
+    ap.add_argument("--max-points", type=int, default=None,
+                    help="override TrackerConfig.max_map_points")
     ap.add_argument("--device-loop", action="store_true",
                     help="after the host bootstrap reaches WORKING, run "
                          "the remaining frames through the one-scan "
@@ -106,6 +113,14 @@ def main():
     if args.no_bow and cfg.tracker.use_bow:
         cfg = dataclasses.replace(
             cfg, tracker=dataclasses.replace(cfg.tracker, use_bow=False))
+    tk_over = {}
+    if args.max_keyframes:
+        tk_over["max_keyframes"] = args.max_keyframes
+    if args.max_points:
+        tk_over["max_map_points"] = args.max_points
+    if tk_over:
+        cfg = dataclasses.replace(
+            cfg, tracker=dataclasses.replace(cfg.tracker, **tk_over))
 
     tracker = Tracker(cfg)
     n_lost = 0

@@ -57,7 +57,7 @@ def main():
     ap.add_argument("--frames", type=int, default=300)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--mode", default="loop",
-                    choices=["loop", "strafe", "forward"])
+                    choices=["loop", "strafe", "forward", "circuit"])
     ap.add_argument("--points", type=int, default=900)
     args = ap.parse_args()
 
@@ -68,14 +68,22 @@ def main():
         CornerField,
         make_trajectory,
         render_frame,
+        ring_points,
     )
 
     cam = CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=240.0,
                        width=640, height=480, fps=FPS)
     rng = np.random.default_rng(args.seed)
-    # a deep, wide field so every loop pose sees plenty of texture
-    field = CornerField(rng, n=args.points, x=(-5.0, 5.0), y=(-3.5, 3.5),
-                        z=(3.0, 10.0))
+    if args.mode == "circuit":
+        # a 360-degree ring world surrounding the circuit: the start view
+        # is only re-seen at the end, so drift accumulated over the
+        # circuit must be absorbed by EXPLICIT loop closing
+        n = max(args.points, 2400)
+        field = CornerField(rng, pts=ring_points(rng, n=n))
+    else:
+        # a deep, wide field so every loop pose sees plenty of texture
+        field = CornerField(rng, n=args.points, x=(-5.0, 5.0),
+                            y=(-3.5, 3.5), z=(3.0, 10.0))
     poses = make_trajectory(args.frames, args.mode)
 
     rgb_dir = os.path.join(args.out_dir, "rgb")

@@ -55,6 +55,57 @@ __all__ = ["LoopCloser", "covisibility_matrix", "covisible_slots"]
 _SIM3_CAP = 512
 
 
+@jax.jit
+def _grow_sim3_matches(g: Sim3, x1, v1, d1, uv1, x2, v2, d2, uv2,
+                       K, r_px, th):
+    """Bidirectional Sim(3)-projection match growing — the
+    ``ORBmatcher::SearchBySim3`` role (``LoopClosing::ComputeSim3`` grows
+    the RANSAC solution's correspondences before ``OptimizeSim3``; the
+    ~dozen BoW matches that seeded RANSAC are rarely enough to clear the
+    inlier acceptance bar on their own).
+
+    ``x1``/``x2`` are the two keyframes' map points in their OWN camera
+    frames, ``g`` maps frame-2 camera coords into frame 1. A pair (i, j)
+    is eligible when j's point projects within ``r_px`` of keypoint i in
+    image 1 AND i's point projects within ``r_px`` of keypoint j in
+    image 2 (the reference's check-both-directions agreement), with
+    Hamming <= ``th`` (TH_HIGH — no ratio test in SearchBySim3). Returns
+    j_for_i [N1] int32 (-1 = none), mutual-best by descriptor distance.
+    """
+    from ..ops.hamming import hamming_matrix
+
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+
+    def proj(p):
+        z = jnp.maximum(p[:, 2], 1e-9)
+        return (jnp.stack([fx * p[:, 0] / z + cx, fy * p[:, 1] / z + cy],
+                          -1), p[:, 2] > 1e-6)
+
+    y2 = g.s * x2 @ g.R.T + g.t              # frame-2 points in frame 1
+    gi = sim3_inverse(g)
+    y1 = gi.s * x1 @ gi.R.T + gi.t           # frame-1 points in frame 2
+    uv2_in_1, ok2 = proj(y2)
+    uv1_in_2, ok1 = proj(y1)
+
+    d_fwd = jnp.sum((uv1[:, None, :] - uv2_in_1[None, :, :]) ** 2, -1)
+    d_bwd = jnp.sum((uv1_in_2[:, None, :] - uv2[None, :, :]) ** 2, -1)
+    D = hamming_matrix(d1, d2)
+    big = 1 << 20
+    elig = (v1[:, None] & v2[None, :] & ok1[:, None] & ok2[None, :]
+            & (d_fwd <= r_px * r_px) & (d_bwd <= r_px * r_px) & (D <= th))
+    Dm = jnp.where(elig, D, big)
+    best = jnp.min(Dm, axis=1)
+    best_j = jnp.argmin(Dm, axis=1)
+    accept = best < big
+    n1 = x1.shape[0]
+    sentinel = jnp.int32(jnp.iinfo(jnp.int32).max)
+    rows = jnp.arange(n1, dtype=jnp.int32)
+    key = jnp.where(accept, best * jnp.int32(n1) + rows, sentinel)
+    min_key = jnp.full((x2.shape[0],), sentinel, jnp.int32).at[best_j].min(key)
+    keep = accept & (key == min_key[best_j])
+    return jnp.where(keep, best_j.astype(jnp.int32), -1)
+
+
 def covisibility_matrix(m: SlamMap) -> np.ndarray:
     """[Kc, Kc] shared-map-point counts between keyframe snapshots (the
     covisibility graph's edge weights). One bool matmul on host — the
@@ -91,12 +142,18 @@ class LoopCloser:
         self._groups: List[Tuple[Set[int], int]] = []
         self._key_counter = 0
         self.last_closed_frame_id = -(10 ** 9)
+        self.last_sim3_reason = ""
 
     # ------------------------------------------------------------------
     # stage 1: DetectLoop
     # ------------------------------------------------------------------
     def detect(self, m: SlamMap, kf_db: KeyframeDatabase,
-               slot: int) -> Optional[int]:
+               slot: int) -> List[int]:
+        """Consistent loop candidates, best BoW score first (ORB-SLAM
+        ``DetectLoop`` fills mvpEnoughConsistentCandidates with EVERY
+        candidate whose consistency streak clears the threshold —
+        ``ComputeSim3`` then tries each; returning only the top-scoring
+        one lets a perceptually-aliased distractor eat the attempt)."""
         tcfg = self.cfg.tracker
         kf_valid = np.asarray(m.kf_valid)
         frame_ids = np.asarray(m.kf_frame_id)
@@ -134,9 +191,7 @@ class LoopCloser:
             if streak >= tcfg.loop_consistency_th:
                 accepted.append((float(scores[c]), int(c)))
         self._groups = new_groups
-        if not accepted:
-            return None
-        return max(accepted)[1]
+        return [c for _, c in sorted(accepted, reverse=True)]
 
     # ------------------------------------------------------------------
     # stage 2: ComputeSim3
@@ -160,47 +215,83 @@ class LoopCloser:
             m.kf_kp_desc[cand], jnp.asarray(v_cand),
         ))
         i1 = np.where(matches >= 0)[0]
+        self.last_sim3_reason = (
+            f"matches={len(i1)}/[{int(v_cur.sum())},{int(v_cand.sum())}]")
         if len(i1) < 3:
             return None
         i2 = matches[i1]
-        p1 = kf_kp_pt[cur][i1]
-        p2 = kf_kp_pt[cand][i2]
 
+        # every point-associated keypoint's map point, in its own camera
+        # frame (safe-indexed; rows with v_* False are garbage and masked)
         pts = np.asarray(m.pts)
         R1, t1 = np.asarray(m.kf_R[cur]), np.asarray(m.kf_t[cur])
         R2, t2 = np.asarray(m.kf_R[cand]), np.asarray(m.kf_t[cand])
-        x1 = pts[p1] @ R1.T + t1           # current-camera coords
-        x2 = pts[p2] @ R2.T + t2           # candidate-camera coords
-        uv1 = np.asarray(m.kf_kp_xy[cur])[i1]
-        uv2 = np.asarray(m.kf_kp_xy[cand])[i2]
+        safe1 = np.clip(kf_kp_pt[cur], 0, m.point_capacity - 1)
+        safe2 = np.clip(kf_kp_pt[cand], 0, m.point_capacity - 1)
+        x1_all = (pts[safe1] @ R1.T + t1).astype(np.float32)
+        x2_all = (pts[safe2] @ R2.T + t2).astype(np.float32)
+        uv1_all = np.asarray(m.kf_kp_xy[cur])
+        uv2_all = np.asarray(m.kf_kp_xy[cand])
 
-        n = min(len(i1), _SIM3_CAP)
-        X1 = np.zeros((_SIM3_CAP, 3), np.float32)
-        X2 = np.zeros((_SIM3_CAP, 3), np.float32)
-        U1 = np.zeros((_SIM3_CAP, 2), np.float32)
-        U2 = np.zeros((_SIM3_CAP, 2), np.float32)
-        V = np.zeros(_SIM3_CAP, bool)
-        X1[:n], X2[:n], U1[:n], U2[:n], V[:n] = (
-            x1[:n], x2[:n], uv1[:n], uv2[:n], True)
+        def _pack(ii, jj):
+            n = min(len(ii), _SIM3_CAP)
+            X1 = np.zeros((_SIM3_CAP, 3), np.float32)
+            X2 = np.zeros((_SIM3_CAP, 3), np.float32)
+            U1 = np.zeros((_SIM3_CAP, 2), np.float32)
+            U2 = np.zeros((_SIM3_CAP, 2), np.float32)
+            V = np.zeros(_SIM3_CAP, bool)
+            X1[:n], X2[:n] = x1_all[ii[:n]], x2_all[jj[:n]]
+            U1[:n], U2[:n] = uv1_all[ii[:n]], uv2_all[jj[:n]]
+            V[:n] = True
+            return X1, X2, U1, U2, V, n
+
+        X1, X2, U1, U2, V, n = _pack(i1, i2)
 
         # metric RANSAC gate scaled to the scene (the reference gates by
         # reprojection chi2 inside Sim3Solver; a relative 3D gate is the
         # scale-free analog)
-        tol = 0.05 * float(np.median(np.linalg.norm(x1[:n], axis=-1)) + 1e-6)
+        tol = 0.05 * float(np.median(np.linalg.norm(X1[:n], axis=-1)) + 1e-6)
         self._key_counter += 1
         res = ransac_sim3(
             jnp.asarray(X1), jnp.asarray(X2), jnp.asarray(V),
             jax.random.PRNGKey(self._key_counter), tol=tol,
             min_inliers=min(tcfg.loop_min_inliers, 6),
         )
+        n_ransac = int(np.asarray(res.inliers).sum())
+        self.last_sim3_reason += f" ransac_ok={bool(res.ok)}({n_ransac})"
         if not bool(res.ok):
             return None
+
+        # SearchBySim3: grow correspondences by bidirectional projection
+        # under the RANSAC estimate before the final refinement
+        # (LoopClosing::ComputeSim3 -> ORBmatcher::SearchBySim3; the BoW
+        # seed matches alone rarely clear the inlier acceptance bar)
+        grown = np.asarray(_grow_sim3_matches(
+            Sim3(s=res.g.s, R=res.g.R, t=res.g.t),
+            jnp.asarray(x1_all), jnp.asarray(v_cur),
+            m.kf_kp_desc[cur], jnp.asarray(uv1_all),
+            jnp.asarray(x2_all), jnp.asarray(v_cand),
+            m.kf_kp_desc[cand], jnp.asarray(uv2_all),
+            self.K, jnp.float32(tcfg.loop_sim3_grow_radius_px),
+            jnp.int32(100)))
+        j_for_i = np.full(len(matches), -1, np.int64)
+        j_for_i[i1] = i2
+        used2 = np.zeros(len(v_cand), bool)
+        used2[i2] = True
+        vac = ((j_for_i < 0) & (grown >= 0)
+               & ~used2[np.clip(grown, 0, len(v_cand) - 1)])
+        j_for_i[vac] = grown[vac]
+        ii = np.where(j_for_i >= 0)[0]
+        self.last_sim3_reason += f" grown={len(ii)}"
+        X1, X2, U1, U2, V, n = _pack(ii, j_for_i[ii])
+
         g, inl = optimize_sim3(
             res.g, jnp.asarray(X1), jnp.asarray(X2),
             jnp.asarray(U1), jnp.asarray(U2), self.K,
-            res.inliers & jnp.asarray(V),
+            jnp.asarray(V),
         )
         n_inl = int(jnp.sum(inl.astype(jnp.int32)))
+        self.last_sim3_reason += f" opt_inl={n_inl}/{tcfg.loop_min_inliers}"
         if n_inl < tcfg.loop_min_inliers:
             return None
         return Sim3(s=g.s, R=g.R, t=g.t), n_inl
@@ -539,12 +630,21 @@ class LoopCloser:
         cur_fid = int(np.asarray(m.kf_frame_id)[slot])
         if cur_fid - self.last_closed_frame_id < tcfg.loop_min_frame_gap:
             return m, {"loop": "cooldown"}
-        cand = self.detect(m, kf_db, slot)
-        if cand is None:
+        cands = self.detect(m, kf_db, slot)
+        if not cands:
             return m, {"loop": "no candidate"}
-        sim3 = self.compute_sim3(m, slot, cand)
+        # try every consistent candidate until one survives the Sim(3)
+        # gauntlet (LoopClosing::ComputeSim3 iterates nInitialCandidates)
+        sim3 = None
+        reasons = []
+        for cand in cands[:8]:
+            sim3 = self.compute_sim3(m, slot, cand)
+            if sim3 is not None:
+                break
+            reasons.append(f"{cand}[{self.last_sim3_reason}]")
         if sim3 is None:
-            return m, {"loop": f"candidate {cand} rejected by Sim(3)"}
+            return m, {"loop": ("candidates rejected by Sim(3): "
+                                + "; ".join(reasons))}
         Scm, n_inl = sim3
         m, info = self.correct(m, slot, cand, Scm)
         info.update({"loop": f"closed with kf {cand}",

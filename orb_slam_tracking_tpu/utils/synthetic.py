@@ -32,10 +32,15 @@ class CornerField:
     N_BLOBS = 10
 
     def __init__(self, rng: np.random.Generator, n: int = 600,
-                 x=(-4.0, 4.0), y=(-3.0, 3.0), z=(3.0, 9.0)):
-        self.pts = np.stack(
-            [rng.uniform(*x, n), rng.uniform(*y, n), rng.uniform(*z, n)], -1
-        ).astype(np.float32)
+                 x=(-4.0, 4.0), y=(-3.0, 3.0), z=(3.0, 9.0),
+                 pts: np.ndarray | None = None):
+        if pts is not None:
+            n = len(pts)
+            self.pts = np.asarray(pts, np.float32)
+        else:
+            self.pts = np.stack(
+                [rng.uniform(*x, n), rng.uniform(*y, n), rng.uniform(*z, n)], -1
+            ).astype(np.float32)
         self.size_m = rng.uniform(0.05, 0.12, n).astype(np.float32)
         # sub-blob offsets (units of size_m), signed amplitudes, and
         # anisotropic widths: varied local structure makes descriptors
@@ -49,6 +54,22 @@ class CornerField:
         ).astype(np.float32)
         self.blob_amp[:, 0] = np.abs(self.blob_amp[:, 0])
         self.blob_sig = rng.uniform(0.15, 0.55, (n, self.N_BLOBS, 2)).astype(np.float32)
+
+
+def ring_points(rng: np.random.Generator, n: int = 2400,
+                center=(0.0, 0.0, -2.0), radius: float = 8.0,
+                y=(-2.5, 2.5), radial_jitter: float = 1.5) -> np.ndarray:
+    """A 360-degree ring of textured points surrounding the 'circuit'
+    trajectory (make_trajectory mode="circuit"): uniform in azimuth so
+    every outward-facing heading along the circuit sees texture."""
+    phi = rng.uniform(0, 2 * np.pi, n)
+    r = radius + rng.uniform(-radial_jitter, radial_jitter, n)
+    cx, cy, cz = center
+    return np.stack([
+        cx + r * np.sin(phi),
+        cy + rng.uniform(*y, n),
+        cz + r * np.cos(phi),
+    ], -1).astype(np.float32)
 
 
 def render_frame(field: CornerField, cam: CameraConfig, R: np.ndarray,
@@ -114,6 +135,21 @@ def make_trajectory(n_frames: int, mode: str = "strafe") -> List[Tuple[np.ndarra
             cwx = -0.9 * np.sin(ang)
             cwy = 0.35 * (1.0 - np.cos(ang))
             cwz = 0.25 * np.sin(2 * ang)
+        elif mode == "circuit":
+            # full 360-degree circuit: the camera travels a circle of
+            # radius 2 facing outward, so every heading is visited once
+            # and the start view is re-seen ONLY at the end — the middle
+            # of the trajectory shares no covisibility with the start,
+            # which is the regime where explicit loop closing (BoW
+            # detect -> Sim(3) -> essential graph -> GBA) is the only
+            # mechanism that can absorb accumulated drift. Use with a
+            # RING world (see CornerField ring arguments).
+            ang = 2 * np.pi * s
+            rc = 2.0
+            yaw = ang                      # heading tracks the circuit
+            cwx = rc * np.sin(ang)
+            cwy = 0.08 * np.sin(3 * ang)
+            cwz = -rc * (1.0 - np.cos(ang))
         else:
             raise ValueError(mode)
         Rwc = np.array(

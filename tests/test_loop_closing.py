@@ -244,8 +244,8 @@ def test_revisit_has_no_shared_points_but_detects(loop_world):
     assert shared[9, 0] == 0          # duplicates, not shared points
     assert shared[9, 8] >= 5          # but normal covisibility is intact
     lc = LoopCloser(w["cfg"], w["K"])
-    cand = lc.detect(w["m"], w["db"], 9)
-    assert cand in (0, 1)
+    cands = lc.detect(w["m"], w["db"], 9)
+    assert cands and cands[0] in (0, 1)
 
 
 def test_compute_sim3_recovers_true_relative(loop_world):
