@@ -183,6 +183,11 @@ def main():
         if state == "LOST":
             n_lost += 1
         loop = out.get("loop")
+        if out.get("loop_implicit_revisit"):
+            print(f"[{i + 1}] implicit revisit: tracking reconnected to old "
+                  f"keyframes {out['loop_implicit_revisit'][:8]} by "
+                  f"projection (loop absorbed by map reuse; explicit "
+                  f"closure correctly suppressed)", flush=True)
         if loop and loop not in ("no candidate", "cooldown"):
             print(f"[{i + 1}] loop closing: {loop} "
                   f"(edges={out.get('loop_edges')}, "

@@ -59,6 +59,13 @@ def main():
     ap.add_argument("--mode", default="loop",
                     choices=["loop", "strafe", "forward", "circuit"])
     ap.add_argument("--points", type=int, default=900)
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="per-frame gaussian sensor noise, gray levels. "
+                         "Noise degrades keypoint localization so drift "
+                         "accumulates like on a real camera — on the "
+                         "circuit this is what forces the EXPLICIT loop "
+                         "closure (projection matching alone cannot "
+                         "reconnect a drifted revisit)")
     args = ap.parse_args()
 
     from PIL import Image
@@ -92,7 +99,10 @@ def main():
     gt_rows = []
     for i, (R, t) in enumerate(poses):
         ts = i / FPS
-        img = render_frame(field, cam, R, t).astype(np.uint8)
+        img = render_frame(field, cam, R, t)
+        if args.noise > 0:
+            img = img + rng.normal(0.0, args.noise, img.shape)
+        img = np.clip(img, 0, 255).astype(np.uint8)
         name = f"rgb/{ts:.6f}.png"
         Image.fromarray(img, mode="L").save(
             os.path.join(args.out_dir, name))

@@ -35,7 +35,8 @@ from .hamming import hamming_matrix
 
 __all__ = [
     "MatchResult", "search_for_initialization", "compact_matches",
-    "search_for_triangulation",
+    "search_for_triangulation", "match_descriptors",
+    "match_descriptors_bow",
 ]
 
 # plain int, NOT jnp.int32: a module-level jnp constant would initialize
@@ -267,6 +268,51 @@ def match_descriptors(
     n2 = desc2.shape[0]
     D = hamming_matrix(desc1, desc2)
     Dm = jnp.where(valid1[:, None] & valid2[None, :], D, _BIG)
+    best = jnp.min(Dm, axis=1)
+    best_j = jnp.argmin(Dm, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, Dm.shape, 1)
+    second = jnp.min(jnp.where(cols == best_j[:, None], _BIG, Dm), axis=1)
+    accept = (best <= th) & (
+        best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
+    )
+    sentinel = jnp.int32(jnp.iinfo(jnp.int32).max)
+    rows = jnp.arange(n1, dtype=jnp.int32)
+    key = jnp.where(accept, best * jnp.int32(n1) + rows, sentinel)
+    min_key = jnp.full((n2,), sentinel, dtype=jnp.int32).at[best_j].min(key)
+    keep = accept & (key == min_key[best_j])
+    return jnp.where(keep, best_j.astype(jnp.int32), -1)
+
+
+@jax.jit
+def match_descriptors_bow(
+    desc1: jnp.ndarray,
+    valid1: jnp.ndarray,
+    node1: jnp.ndarray,
+    desc2: jnp.ndarray,
+    valid2: jnp.ndarray,
+    node2: jnp.ndarray,
+    ratio: float = 0.75,
+    th: int = 50,
+):
+    """Vocabulary-node-restricted matching — the actual ``SearchByBoW``
+    (``ORBmatcher.cpp`` SearchByBoW iterates the two frames' FeatureVector
+    in lockstep and only compares features under the SAME direct-index
+    node). Confining best/second-best to one vocabulary cell is what makes
+    the 0.75 ratio test survivable on self-similar scenes: globally, the
+    second-best among hundreds of look-alike features is nearly as close
+    as the true match and the ratio gate starves the Sim(3) solver of
+    seeds.
+
+    ``node1``/``node2`` are per-keypoint direct-index node ids
+    (``bow.vocabulary.direct_index_nodes``). Same contract as
+    :func:`match_descriptors` otherwise.
+    """
+    n1 = desc1.shape[0]
+    n2 = desc2.shape[0]
+    D = hamming_matrix(desc1, desc2)
+    elig = (valid1[:, None] & valid2[None, :]
+            & (node1[:, None] == node2[None, :]))
+    Dm = jnp.where(elig, D, _BIG)
     best = jnp.min(Dm, axis=1)
     best_j = jnp.argmin(Dm, axis=1)
     cols = jax.lax.broadcasted_iota(jnp.int32, Dm.shape, 1)

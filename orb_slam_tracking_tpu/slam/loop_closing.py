@@ -45,7 +45,7 @@ from ..config import SystemConfig
 from ..geometry.sim3 import (
     Sim3, optimize_sim3, ransac_sim3, sim3_compose, sim3_inverse,
 )
-from ..ops.matcher import match_descriptors
+from ..ops.matcher import match_descriptors, match_descriptors_bow
 from ..optim.pose_graph import optimize_pose_graph, relative_sim3
 from .map import SlamMap
 
@@ -135,14 +135,18 @@ class LoopCloser:
     """Per-map loop-closing state machine; call :meth:`on_keyframe` after
     every keyframe insertion."""
 
-    def __init__(self, cfg: SystemConfig, K: np.ndarray):
+    def __init__(self, cfg: SystemConfig, K: np.ndarray, vocab=None):
         self.cfg = cfg
         self.K = jnp.asarray(K, jnp.float32)
+        # vocabulary for direct-index (SearchByBoW) seed matching; None
+        # falls back to global ratio-test matching
+        self.vocab = vocab
         # consistency groups: (covisibility group of a candidate, streak)
         self._groups: List[Tuple[Set[int], int]] = []
         self._key_counter = 0
         self.last_closed_frame_id = -(10 ** 9)
         self.last_sim3_reason = ""
+        self.last_implicit_revisit: List[int] = []
 
     # ------------------------------------------------------------------
     # stage 1: DetectLoop
@@ -171,6 +175,16 @@ class LoopCloser:
         mask[slot] = False
         mask[neighbors] = False
         mask &= (cur_fid - frame_ids) >= tcfg.loop_min_frame_gap
+        # observability: a covisible neighbor OLD enough to have been a
+        # loop candidate means the tracker already reconnected to the old
+        # map by projection — the loop is being absorbed IMPLICITLY (map
+        # reuse), so its exclusion here is the correct non-event, not a
+        # miss (ORB-SLAM behaves identically: vpConnectedKeyFrames are
+        # skipped in DetectLoop)
+        old_covis = [int(c) for c in neighbors
+                     if kf_valid[c]
+                     and cur_fid - int(frame_ids[c]) >= tcfg.loop_min_frame_gap]
+        self.last_implicit_revisit = old_covis
         cand_slots = np.where(mask & np.isfinite(scores)
                               & (scores >= min_score))[0]
 
@@ -210,10 +224,37 @@ class LoopCloser:
 
         v_cur = _kp_valid(cur)
         v_cand = _kp_valid(cand)
-        matches = np.asarray(match_descriptors(
-            m.kf_kp_desc[cur], jnp.asarray(v_cur),
-            m.kf_kp_desc[cand], jnp.asarray(v_cand),
-        ))
+        if self.vocab is not None:
+            # true SearchByBoW: compare only features under the same
+            # direct-index node (ORBmatcher.cpp SearchByBoW walks the two
+            # FeatureVectors in lockstep) — confining the ratio test to
+            # one vocabulary cell is what keeps it survivable on
+            # self-similar scenes
+            from ..bow.vocabulary import direct_index_nodes, transform
+
+            w1, _ = transform(self.vocab, m.kf_kp_desc[cur],
+                              jnp.asarray(v_cur))
+            w2, _ = transform(self.vocab, m.kf_kp_desc[cand],
+                              jnp.asarray(v_cand))
+            matches = np.asarray(match_descriptors_bow(
+                m.kf_kp_desc[cur], jnp.asarray(v_cur),
+                direct_index_nodes(self.vocab, w1),
+                m.kf_kp_desc[cand], jnp.asarray(v_cand),
+                direct_index_nodes(self.vocab, w2),
+            ))
+            if int((matches >= 0).sum()) < tcfg.loop_min_inliers:
+                # scarce BoW seeds (coarse vocabulary cells on a small
+                # synthetic vocab can over-segment true matches) — widen
+                # to the global ratio test rather than starving RANSAC
+                matches = np.asarray(match_descriptors(
+                    m.kf_kp_desc[cur], jnp.asarray(v_cur),
+                    m.kf_kp_desc[cand], jnp.asarray(v_cand),
+                ))
+        else:
+            matches = np.asarray(match_descriptors(
+                m.kf_kp_desc[cur], jnp.asarray(v_cur),
+                m.kf_kp_desc[cand], jnp.asarray(v_cand),
+            ))
         i1 = np.where(matches >= 0)[0]
         self.last_sim3_reason = (
             f"matches={len(i1)}/[{int(v_cur.sum())},{int(v_cand.sum())}]")
@@ -631,8 +672,11 @@ class LoopCloser:
         if cur_fid - self.last_closed_frame_id < tcfg.loop_min_frame_gap:
             return m, {"loop": "cooldown"}
         cands = self.detect(m, kf_db, slot)
+        implicit = (
+            {"loop_implicit_revisit": self.last_implicit_revisit}
+            if self.last_implicit_revisit else {})
         if not cands:
-            return m, {"loop": "no candidate"}
+            return m, {"loop": "no candidate", **implicit}
         # try every consistent candidate until one survives the Sim(3)
         # gauntlet (LoopClosing::ComputeSim3 iterates nInitialCandidates)
         sim3 = None
@@ -644,7 +688,7 @@ class LoopCloser:
             reasons.append(f"{cand}[{self.last_sim3_reason}]")
         if sim3 is None:
             return m, {"loop": ("candidates rejected by Sim(3): "
-                                + "; ".join(reasons))}
+                                + "; ".join(reasons)), **implicit}
         Scm, n_inl = sim3
         m, info = self.correct(m, slot, cand, Scm)
         info.update({"loop": f"closed with kf {cand}",

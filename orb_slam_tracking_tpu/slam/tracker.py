@@ -671,7 +671,8 @@ class Tracker:
             if self.loop_closer is None:
                 from .loop_closing import LoopCloser
 
-                self.loop_closer = LoopCloser(self.cfg, np.asarray(self.K))
+                self.loop_closer = LoopCloser(self.cfg, np.asarray(self.K),
+                                              vocab=self.vocab)
             self.map, loop_info = self.loop_closer.on_keyframe(
                 self.map, self.kf_db, slot)
             out.update(loop_info)

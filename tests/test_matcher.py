@@ -157,3 +157,53 @@ def test_reference_pair_matching(init_images):
     med = np.median(disp, axis=0)
     mad = np.median(np.abs(disp - med), axis=0)
     assert (mad < 10).all()
+
+
+def test_bow_node_restriction(rng):
+    """match_descriptors_bow only pairs features under the same
+    direct-index node, and the ratio test is confined to that node."""
+    from orb_slam_tracking_tpu.ops.matcher import (
+        match_descriptors, match_descriptors_bow)
+
+    d1 = _rand_desc(rng, 40)
+    # d2: exact copies of d1 (perfect matches) plus decoys
+    d2 = np.concatenate([d1, _rand_desc(rng, 24)], axis=0)
+    v1 = np.ones(40, bool)
+    v2 = np.ones(64, bool)
+    # half the true pairs share a node, half are split across nodes
+    node1 = np.arange(40, dtype=np.int32) % 7
+    node2 = np.concatenate([node1, np.full(24, 99, np.int32)])
+    node2_split = node2.copy()
+    node2_split[:20] = 55  # break node agreement for the first 20 pairs
+
+    m_same = np.asarray(match_descriptors_bow(
+        jnp.asarray(d1), jnp.asarray(v1), jnp.asarray(node1),
+        jnp.asarray(d2), jnp.asarray(v2), jnp.asarray(node2)))
+    # exact-duplicate descriptors have distance 0 and no same-node rival
+    np.testing.assert_array_equal(m_same, np.arange(40))
+
+    m_split = np.asarray(match_descriptors_bow(
+        jnp.asarray(d1), jnp.asarray(v1), jnp.asarray(node1),
+        jnp.asarray(d2), jnp.asarray(v2), jnp.asarray(node2_split)))
+    # pairs whose node ids disagree can never match
+    assert (m_split[:20] == -1).all()
+    np.testing.assert_array_equal(m_split[20:], np.arange(20, 40))
+
+    # node restriction rescues matches the global ratio test kills:
+    # true matches 3 bits away, global decoys 4 bits away in a DIFFERENT
+    # node — globally 3 < 0.75*4 fails the ratio, in-node it survives
+    true2 = d1.copy()
+    true2[:, 0] ^= np.uint32(0b111)
+    decoys = d1.copy()
+    decoys[:, 0] ^= np.uint32(0b1111000)
+    d2b = np.concatenate([true2, decoys], axis=0)
+    node2b = np.concatenate([node1, np.full(40, 99, np.int32)])
+    v2b = np.ones(80, bool)
+    m_glob = np.asarray(match_descriptors(
+        jnp.asarray(d1), jnp.asarray(v1),
+        jnp.asarray(d2b), jnp.asarray(v2b)))
+    m_bow = np.asarray(match_descriptors_bow(
+        jnp.asarray(d1), jnp.asarray(v1), jnp.asarray(node1),
+        jnp.asarray(d2b), jnp.asarray(v2b), jnp.asarray(node2b)))
+    assert (m_glob == -1).all()
+    np.testing.assert_array_equal(m_bow, np.arange(40))
