@@ -273,6 +273,12 @@ class TrackerConfig:
     loop_consistency_th: int = 3
     # Minimum Sim(3) inliers to accept a loop (ORB-SLAM: 20).
     loop_min_inliers: int = 20
+    # Most consistent candidates run through the Sim(3) gauntlet per
+    # keyframe. ORB-SLAM bounds the equivalent cost inside ComputeSim3
+    # with a global 300-iteration RANSAC budget shared round-robin across
+    # nInitialCandidates; a candidate cap is the batched analog (the list
+    # is BoW-score-sorted, so the cap drops the least likely first).
+    loop_max_sim3_candidates: int = 5
     # Covisibility edges enter the essential graph above this shared-point
     # count (ORB-SLAM uses 100 for the covisibility tier; maps here are
     # smaller).

@@ -279,9 +279,13 @@ def optimize_sim3(
         J2 = Jp2 @ Jpc2
         return r1, J1, r2, J2
 
-    def chi2_of(g):
+    def chi2_dir(g):
         r1, _, r2, _ = residuals(g)
-        return (jnp.sum(r1 * r1, -1) + jnp.sum(r2 * r2, -1)) * wv
+        return jnp.sum(r1 * r1, -1) * wv, jnp.sum(r2 * r2, -1) * wv
+
+    def chi2_of(g):
+        c1, c2 = chi2_dir(g)
+        return c1 + c2
 
     def cost_of(g):
         c = chi2_of(g)
@@ -327,5 +331,10 @@ def optimize_sim3(
     (g, _, _), _ = jax.lax.scan(
         step, (g0, jnp.float32(1e-3), cost0), None, length=iterations
     )
-    inlier = (chi2_of(g) <= huber_chi2) & valid
+    # per-direction gating: g2o's OptimizeSim3 keeps a correspondence only
+    # if BOTH its edges pass th2 (`e12->chi2()>th2 || e21->chi2()>th2`
+    # erases it) — each direction gets the full threshold, not half of a
+    # summed budget
+    c1, c2 = chi2_dir(g)
+    inlier = (c1 <= huber_chi2) & (c2 <= huber_chi2) & valid
     return g, inlier

@@ -304,38 +304,47 @@ class LoopCloser:
             return None
 
         # SearchBySim3: grow correspondences by bidirectional projection
-        # under the RANSAC estimate before the final refinement
-        # (LoopClosing::ComputeSim3 -> ORBmatcher::SearchBySim3; the BoW
-        # seed matches alone rarely clear the inlier acceptance bar)
-        grown = np.asarray(_grow_sim3_matches(
-            Sim3(s=res.g.s, R=res.g.R, t=res.g.t),
-            jnp.asarray(x1_all), jnp.asarray(v_cur),
-            m.kf_kp_desc[cur], jnp.asarray(uv1_all),
-            jnp.asarray(x2_all), jnp.asarray(v_cand),
-            m.kf_kp_desc[cand], jnp.asarray(uv2_all),
-            self.K, jnp.float32(tcfg.loop_sim3_grow_radius_px),
-            jnp.int32(100)))
-        j_for_i = np.full(len(matches), -1, np.int64)
-        j_for_i[i1] = i2
-        used2 = np.zeros(len(v_cand), bool)
-        used2[i2] = True
-        vac = ((j_for_i < 0) & (grown >= 0)
-               & ~used2[np.clip(grown, 0, len(v_cand) - 1)])
-        j_for_i[vac] = grown[vac]
-        ii = np.where(j_for_i >= 0)[0]
-        self.last_sim3_reason += f" grown={len(ii)}"
-        X1, X2, U1, U2, V, n = _pack(ii, j_for_i[ii])
+        # under the RANSAC estimate, refine, then grow AGAIN under the
+        # refined similarity and re-refine (LoopClosing::ComputeSim3 ->
+        # ORBmatcher::SearchBySim3 -> OptimizeSim3; the second round
+        # matters because the few-point RANSAC estimate centers the
+        # projection search coarsely — matches the first pass misses by a
+        # few pixels land inside the radius once the optimizer has pulled
+        # the similarity onto the grown set)
+        g = Sim3(s=res.g.s, R=res.g.R, t=res.g.t)
+        n_inl = 0
+        for _round in range(2):
+            grown = np.asarray(_grow_sim3_matches(
+                g,
+                jnp.asarray(x1_all), jnp.asarray(v_cur),
+                m.kf_kp_desc[cur], jnp.asarray(uv1_all),
+                jnp.asarray(x2_all), jnp.asarray(v_cand),
+                m.kf_kp_desc[cand], jnp.asarray(uv2_all),
+                self.K, jnp.float32(tcfg.loop_sim3_grow_radius_px),
+                jnp.int32(100)))
+            j_for_i = np.full(len(matches), -1, np.int64)
+            j_for_i[i1] = i2
+            used2 = np.zeros(len(v_cand), bool)
+            used2[i2] = True
+            vac = ((j_for_i < 0) & (grown >= 0)
+                   & ~used2[np.clip(grown, 0, len(v_cand) - 1)])
+            j_for_i[vac] = grown[vac]
+            ii = np.where(j_for_i >= 0)[0]
+            self.last_sim3_reason += f" grown={len(ii)}"
+            X1, X2, U1, U2, V, n = _pack(ii, j_for_i[ii])
 
-        g, inl = optimize_sim3(
-            res.g, jnp.asarray(X1), jnp.asarray(X2),
-            jnp.asarray(U1), jnp.asarray(U2), self.K,
-            jnp.asarray(V),
-        )
-        n_inl = int(jnp.sum(inl.astype(jnp.int32)))
-        self.last_sim3_reason += f" opt_inl={n_inl}/{tcfg.loop_min_inliers}"
-        if n_inl < tcfg.loop_min_inliers:
-            return None
-        return Sim3(s=g.s, R=g.R, t=g.t), n_inl
+            go, inl = optimize_sim3(
+                g, jnp.asarray(X1), jnp.asarray(X2),
+                jnp.asarray(U1), jnp.asarray(U2), self.K,
+                jnp.asarray(V),
+            )
+            g = Sim3(s=go.s, R=go.R, t=go.t)
+            n_inl = int(jnp.sum(inl.astype(jnp.int32)))
+            self.last_sim3_reason += (
+                f" opt_inl={n_inl}/{tcfg.loop_min_inliers}")
+            if n_inl >= tcfg.loop_min_inliers:
+                return g, n_inl
+        return None
 
     # ------------------------------------------------------------------
     # SearchAndFuse
@@ -681,7 +690,7 @@ class LoopCloser:
         # gauntlet (LoopClosing::ComputeSim3 iterates nInitialCandidates)
         sim3 = None
         reasons = []
-        for cand in cands[:8]:
+        for cand in cands[:tcfg.loop_max_sim3_candidates]:
             sim3 = self.compute_sim3(m, slot, cand)
             if sim3 is not None:
                 break

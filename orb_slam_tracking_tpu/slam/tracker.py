@@ -538,6 +538,8 @@ class Tracker:
         out["n_proj_matches"] = int(r.n_matches1)
         out["n_proj_matches_2"] = int(r.n_matches2)
         if int(r.n_matches1) < cfg.tracker.min_tracked_inliers:
+            if self._track_reference_keyframe(kps, xy_un, out):
+                return out
             self.state = TrackState.LOST
             out["lost"] = "too few projection matches"
             return out
@@ -551,6 +553,8 @@ class Tracker:
             pt_found=m.pt_found + found.astype(jnp.int32),
         )
         if n_inl < cfg.tracker.min_tracked_inliers:
+            if self._track_reference_keyframe(kps, xy_un, out):
+                return out
             self.state = TrackState.LOST
             out["lost"] = "too few pose inliers"
             return out
@@ -568,6 +572,87 @@ class Tracker:
             kf_out = self._insert_keyframe(kps, xy_un, r, timestamp)
             out.update(kf_out)
         return out
+
+    def _track_reference_keyframe(self, kps, xy_un, out: dict) -> bool:
+        """ORB-SLAM ``Tracking::TrackReferenceKeyFrame``: when motion-model
+        projection matching fails (the reference declared this tier via
+        ``UseMotionModel``/``mVelocity``, ``tracking.hpp:110-111`` — full
+        ORB-SLAM falls back to BoW matching against the reference keyframe
+        before declaring LOST). Matches the frame's descriptors against
+        the newest keyframe's point-associated keypoints —
+        vocabulary-node-restricted when a vocabulary exists (SearchByBoW,
+        ratio 0.7) — then pose-only LM seeded from the LAST pose (no
+        motion prediction, no PnP). On success updates the tracker in
+        place and returns True; recovery happens in the SAME frame,
+        whereas the LOST->relocalization path loses one.
+        """
+        if self.last_kf_slot < 0 or self.n_kf == 0:
+            return False
+        from ..ops.matcher import match_descriptors, match_descriptors_bow
+
+        cfg = self.cfg
+        m = self.map
+        slot = self.last_kf_slot
+        kf_pt = np.asarray(m.kf_kp_pt[slot])
+        pt_valid = np.asarray(m.pt_valid)
+        v_ref = (np.asarray(m.kf_kp_valid[slot]) & (kf_pt >= 0)
+                 & pt_valid[np.clip(kf_pt, 0, m.point_capacity - 1)])
+        if int(v_ref.sum()) < 15:
+            return False
+        if self.vocab is not None:
+            from ..bow.vocabulary import direct_index_nodes, transform
+
+            w1, _ = transform(self.vocab, m.kf_kp_desc[slot],
+                              jnp.asarray(v_ref))
+            w2, _ = transform(self.vocab, kps.desc, kps.valid)
+            m12 = match_descriptors_bow(
+                m.kf_kp_desc[slot], jnp.asarray(v_ref),
+                direct_index_nodes(self.vocab, w1),
+                kps.desc, kps.valid,
+                direct_index_nodes(self.vocab, w2), ratio=0.7)
+        else:
+            m12 = match_descriptors(
+                m.kf_kp_desc[slot], jnp.asarray(v_ref),
+                kps.desc, kps.valid, ratio=0.7)
+        mnp = np.asarray(m12)
+        sel = np.where(mnp >= 0)[0]  # ref-KF keypoint rows with a match
+        # ORB-SLAM requires >=15 BoW matches before attempting the pose
+        if len(sel) < 15:
+            return False
+
+        # pose-only LM over the matched 2D-3D pairs (same fixed problem
+        # shape as relocalization so the jit cache is shared)
+        M = m.point_capacity
+        pts_m = np.zeros((M, 3), np.float32)
+        uv_m = np.zeros((M, 2), np.float32)
+        w_m = np.ones(M, np.float32)
+        valid_m = np.zeros(M, bool)
+        n = len(sel)
+        pt_idx = kf_pt[sel]
+        pts_m[:n] = np.asarray(m.pts)[pt_idx]
+        uv_m[:n] = np.asarray(xy_un)[mnp[sel]]
+        oct_np = np.asarray(kps.octave)[mnp[sel]].astype(np.float32)
+        w_m[:n] = 1.0 / cfg.orb.scale_factor ** (2.0 * oct_np)
+        valid_m[:n] = True
+        res = optimize_pose(
+            jnp.asarray(self.R), jnp.asarray(self.t), jnp.asarray(pts_m),
+            jnp.asarray(uv_m), jnp.asarray(w_m), jnp.asarray(valid_m),
+            self.K,
+        )
+        n_inl = int(res.n_inliers)
+        if n_inl < max(10, cfg.tracker.min_tracked_inliers // 2):
+            return False
+
+        out["ref_kf_track"] = {"kf": slot, "n_bow": n, "n_inliers": n_inl}
+        out["n_inliers"] = n_inl
+        R_new = np.asarray(res.R)
+        t_new = np.asarray(res.t)
+        self.vel_R = R_new @ self.R.T
+        self.vel_t = t_new - self.vel_R @ self.t
+        self.have_velocity = True
+        self.R, self.t = R_new, t_new
+        self.frames_since_kf += 1
+        return True
 
     def _need_keyframe(self, n_inliers: int) -> bool:
         """ORB-SLAM-style policy: a new keyframe when tracking weakens

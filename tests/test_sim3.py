@@ -158,3 +158,33 @@ def test_optimize_sim3_fix_scale(rng):
     # scale stayed pinned
     assert abs(float(g.s) - float(g0.s)) < 1e-6
     np.testing.assert_allclose(np.asarray(g.t), np.asarray(g_gt.t), atol=0.02)
+
+
+def test_optimize_sim3_per_direction_inlier_gate(rng):
+    """The inlier gate is per directional edge (g2o OptimizeSim3 erases a
+    correspondence only when e12 OR e21 exceeds th2=10): a match with
+    ~3 px error in BOTH images (chi2 ~9 per direction, ~18 summed) is an
+    inlier. A summed gate would misclassify every such match."""
+    N = 64
+    X2 = np.stack([
+        rng.uniform(-2, 2, N), rng.uniform(-1.5, 1.5, N), rng.uniform(4, 9, N)
+    ], -1).astype(np.float32)
+    g_id = Sim3(s=jnp.float32(1.0), R=jnp.eye(3), t=jnp.zeros(3))
+    X1 = X2.copy()
+
+    def proj(P):
+        return (P[:, :2] / P[:, 2:]) * np.array([450.0, 450.0]) \
+            + np.array([320.0, 240.0])
+
+    # symmetric random-sign ~2.98 px offsets: no systematic component for
+    # the optimizer to absorb, so per-direction chi2 stays ~8.9 (< 10)
+    # while the summed chi2 is ~17.8 (> 10)
+    s1 = rng.choice([-1.0, 1.0], (N, 2))
+    s2 = rng.choice([-1.0, 1.0], (N, 2))
+    uv1 = (proj(X1) + 2.98 / np.sqrt(2) * s1).astype(np.float32)
+    uv2 = (proj(X2) + 2.98 / np.sqrt(2) * s2).astype(np.float32)
+    g, inl = optimize_sim3(
+        g_id, jnp.asarray(X1), jnp.asarray(X2), jnp.asarray(uv1),
+        jnp.asarray(uv2), K, jnp.ones(N, bool), iterations=8,
+    )
+    assert np.asarray(inl).mean() > 0.9

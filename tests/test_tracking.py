@@ -120,3 +120,43 @@ def test_relocalization_after_occlusion(rng):
     Rg, _ = poses[25]
     rerr = float(np.degrees(np.arccos(np.clip((np.trace(tr.R.T @ Rg) - 1) / 2, -1, 1))))
     assert rerr < 4.0
+
+
+def test_track_reference_keyframe_rescues_bad_motion_model(rng):
+    """Corrupt the constant-velocity model so the projection search
+    windows miss the whole map: TrackReferenceKeyFrame (BoW match to the
+    newest keyframe + pose LM from the LAST pose — no motion prediction)
+    must recover in the SAME frame, without a LOST round-trip."""
+    cfg = SystemConfig(
+        camera=CAM, orb=OrbConfig(n_features=1000),
+        tracker=TrackerConfig(max_map_points=2048, max_keyframes=16,
+                              ba_window=8, use_bow=True),
+    )
+    field = CornerField(rng, n=900)
+    poses = make_trajectory(20, "strafe")
+    frames = [render_frame(field, CAM, R, t) for R, t in poses]
+    tr = Tracker(cfg)
+    for i in range(17):
+        tr.track(frames[i], i / 30.0)
+    assert tr.state == TrackState.WORKING
+
+    # garbage velocity: ~20 deg rotation + large translation shifts every
+    # predicted projection far outside the (widened) search windows
+    th = np.radians(20.0)
+    tr.vel_R = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                         [-np.sin(th), 0, np.cos(th)]], np.float32)
+    tr.vel_t = np.array([4.0, 0.0, 0.0], np.float32)
+    tr.have_velocity = True  # force the corrupted prediction to be used
+    out = tr.track(frames[17], 17 / 30.0)
+    assert tr.state == TrackState.WORKING
+    assert "lost" not in out
+    assert out.get("ref_kf_track"), out
+    assert out["ref_kf_track"]["n_inliers"] >= 10
+    # the recovered pose is the true one, not the teleported prediction
+    Rg, _ = poses[17]
+    rerr = float(np.degrees(np.arccos(np.clip(
+        (np.trace(tr.R.T @ Rg) - 1) / 2, -1, 1))))
+    assert rerr < 3.0
+    # and the next ordinary frame tracks normally again
+    out2 = tr.track(frames[18], 18 / 30.0)
+    assert tr.state == TrackState.WORKING and "lost" not in out2
