@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import se3
-from .lm import huber_weight, nielsen_update
+from .lm import huber_weight, inv3x3, nielsen_update
 
 __all__ = ["BAResult", "bundle_adjust", "inv3x3"]
 
@@ -58,27 +58,6 @@ class BAResult(NamedTuple):
     cost0: jnp.ndarray    # [] initial robust cost
     cost: jnp.ndarray     # [] final robust cost
     obs_inlier: jnp.ndarray  # [O] bool final chi2 classification
-
-
-def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
-    """Closed-form batched 3x3 inverse (adjugate / determinant)."""
-    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
-    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
-    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
-    A = e * i - f * h
-    B = -(d * i - f * g)
-    C = d * h - e * g
-    det = a * A + b * B + c * C
-    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-    adj = jnp.stack(
-        [
-            jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
-            jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
-            jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
-        ],
-        axis=-2,
-    )
-    return adj / det[..., None, None]
 
 
 def _obs_residuals(kf_R, kf_t, pts, obs_kf, obs_pt, obs_uv, fx, fy, cx, cy):

@@ -19,6 +19,8 @@ __all__ = [
     "pseudo_huber_weight",
     "nielsen_update",
     "solve_damped",
+    "inv3x3",
+    "solve_spd6",
 ]
 
 
@@ -58,10 +60,69 @@ def nielsen_update(lam, nu, rho):
     return lam_new, nu_new
 
 
+def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate / determinant)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+def solve_spd6(M: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve a symmetric positive-definite 6x6 system in closed form via
+    3x3 block Schur elimination.
+
+    ``jnp.linalg.solve`` lowers to row-pivoted LU — a sequential,
+    data-dependent scalar loop that dominates the latency of the pose-LM
+    chain (the fused tracking step runs 24 of these solves back-to-back,
+    SURVEY §7 hard-part #4: small-matrix linalg on TPU is latency-bound).
+    For the *damped normal equations* (SPD by construction) the blocked
+    inverse
+
+        [A B; B^T D]^-1  via  S = D - B^T A^-1 B
+
+    with closed-form adjugate 3x3 inverses is branch-free mat-mul
+    arithmetic XLA fuses into a handful of vector ops. Pivoting buys
+    nothing for SPD systems; the LM damping floor keeps A and S away
+    from singularity.
+    """
+    A = M[..., :3, :3]
+    Bm = M[..., :3, 3:]
+    D = M[..., 3:, 3:]
+    b1 = b[..., :3]
+    b2 = b[..., 3:]
+    Ainv = inv3x3(A)
+    AinvB = Ainv @ Bm                                    # [.., 3, 3]
+    S = D - jnp.swapaxes(Bm, -1, -2) @ AinvB
+    Sinv = inv3x3(S)
+    Ainv_b1 = jnp.einsum("...ij,...j->...i", Ainv, b1)
+    rhs2 = b2 - jnp.einsum("...ji,...j->...i", Bm, Ainv_b1)
+    x2 = jnp.einsum("...ij,...j->...i", Sinv, rhs2)
+    x1 = Ainv_b1 - jnp.einsum("...ij,...j->...i", AinvB, x2)
+    return jnp.concatenate([x1, x2], axis=-1)
+
+
 def solve_damped(H: jnp.ndarray, b: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
     """Solve (H + lam*diag(H)) dx = b for a small dense system (the
-    multiplicative damping g2o's ``setLambda`` applies to the diagonal)."""
+    multiplicative damping g2o's ``setLambda`` applies to the diagonal).
+    6-dim SPD systems (the se(3) normal equations) take the closed-form
+    block-Schur path; other sizes fall back to the generic solver."""
     diag = jnp.diagonal(H, axis1=-2, axis2=-1)
     eye = jnp.eye(H.shape[-1], dtype=H.dtype)
     Hd = H + lam * eye * diag[..., None, :]
+    if H.shape[-1] == 6:
+        return solve_spd6(Hd, b)
     return jnp.linalg.solve(Hd, b)

@@ -81,3 +81,39 @@ def test_respects_validity_mask(rng):
     )
     assert int(res.n_inliers) == 50
     assert np.linalg.norm(np.asarray(res.t)) < 1e-4
+
+
+def test_solve_spd6_matches_generic_solver(rng):
+    """The closed-form block-Schur 6x6 path must agree with pivoted LU on
+    SPD damped normal equations across conditioning regimes."""
+    from orb_slam_tracking_tpu.optim.lm import solve_damped, solve_spd6
+
+    for trial in range(20):
+        J = rng.standard_normal((40, 6)).astype(np.float32)
+        # skew the column scales to stress conditioning (fx~450 vs unit
+        # translation columns is the realistic pose-opt imbalance)
+        J *= np.logspace(0, 2 + (trial % 3), 6).astype(np.float32)
+        H = (J.T @ J).astype(np.float32)
+        b = rng.standard_normal(6).astype(np.float32)
+        lam = np.float32(10.0 ** rng.uniform(-5, 0))
+        Hd = H + lam * np.eye(6, dtype=np.float32) * np.diag(H)
+        x_ref = np.linalg.solve(Hd.astype(np.float64), b.astype(np.float64))
+        x = np.asarray(solve_damped(jnp.asarray(H), jnp.asarray(b),
+                                    jnp.asarray(lam)))
+        x2 = np.asarray(solve_spd6(jnp.asarray(Hd), jnp.asarray(b)))
+        scale = np.linalg.norm(x_ref) + 1e-12
+        assert np.linalg.norm(x - x_ref) / scale < 5e-3
+        assert np.linalg.norm(x2 - x_ref) / scale < 5e-3
+
+
+def test_solve_spd6_batched(rng):
+    from orb_slam_tracking_tpu.optim.lm import solve_spd6
+
+    J = rng.standard_normal((8, 30, 6)).astype(np.float32)
+    H = np.einsum("bni,bnj->bij", J, J) + 1e-2 * np.eye(6, dtype=np.float32)
+    b = rng.standard_normal((8, 6)).astype(np.float32)
+    x = np.asarray(solve_spd6(jnp.asarray(H), jnp.asarray(b)))
+    x_ref = np.linalg.solve(
+        H.astype(np.float64), b.astype(np.float64)[..., None]
+    )[..., 0]
+    assert np.abs(x - x_ref).max() < 1e-3 * (np.abs(x_ref).max() + 1.0)
