@@ -83,21 +83,19 @@ def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
 
 def solve_spd6(M: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve a symmetric positive-definite 6x6 system in closed form via
-    3x3 block Schur elimination.
-
-    ``jnp.linalg.solve`` lowers to row-pivoted LU — a sequential,
-    data-dependent scalar loop that dominates the latency of the pose-LM
-    chain (the fused tracking step runs 24 of these solves back-to-back,
-    SURVEY §7 hard-part #4: small-matrix linalg on TPU is latency-bound).
-    For the *damped normal equations* (SPD by construction) the blocked
-    inverse
+    3x3 block Schur elimination (adjugate 3x3 inverses, branch-free):
 
         [A B; B^T D]^-1  via  S = D - B^T A^-1 B
 
-    with closed-form adjugate 3x3 inverses is branch-free mat-mul
-    arithmetic XLA fuses into a handful of vector ops. Pivoting buys
-    nothing for SPD systems; the LM damping floor keeps A and S away
-    from singularity.
+    Valid only for the damped normal equations (SPD by construction;
+    the LM damping floor keeps A and S away from singularity). Kept for
+    BATCHED SPD solves; the unbatched pose-LM chain dispatches to
+    pivoted LU instead — an on-chip A/B at the flagship operating point
+    (``scripts/tpu_solve6_experiment.py``, v5e, 1024 obs, 2x6 LM)
+    measured LU at 0.384 ms per optimize_pose vs 0.541 ms for this
+    closed form: at batch size 1 the Schur expansion's long dependent
+    chain of tiny vector ops costs more than the LU kernel's pivot
+    latency, which overlaps with dispatch.
     """
     A = M[..., :3, :3]
     Bm = M[..., :3, 3:]
@@ -118,11 +116,13 @@ def solve_spd6(M: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def solve_damped(H: jnp.ndarray, b: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
     """Solve (H + lam*diag(H)) dx = b for a small dense system (the
     multiplicative damping g2o's ``setLambda`` applies to the diagonal).
-    6-dim SPD systems (the se(3) normal equations) take the closed-form
-    block-Schur path; other sizes fall back to the generic solver."""
+    BATCHED 6-dim SPD systems take the closed-form block-Schur path
+    (one LU pivot loop per batch element would serialize); unbatched
+    systems use pivoted LU, which the on-chip A/B measured 1.4x faster
+    than the closed form at batch 1 (see ``solve_spd6``)."""
     diag = jnp.diagonal(H, axis1=-2, axis2=-1)
     eye = jnp.eye(H.shape[-1], dtype=H.dtype)
     Hd = H + lam * eye * diag[..., None, :]
-    if H.shape[-1] == 6:
+    if H.shape[-1] == 6 and H.ndim > 2:
         return solve_spd6(Hd, b)
     return jnp.linalg.solve(Hd, b)
