@@ -288,11 +288,12 @@ class TrackerConfig:
     # SearchAndFuse: pixel radius for projecting loop map points into the
     # current covisibility group's keyframes (corrected poses).
     loop_fuse_radius_px: float = 8.0
-    # SearchBySim3 growth: pixel radius for the bidirectional projection
-    # match that grows the RANSAC correspondences before OptimizeSim3
-    # (ORBmatcher::SearchBySim3 uses 7.5 * octave scale; one flat radius
-    # here — the Sim(3) estimate centers the search well).
-    loop_sim3_grow_radius_px: float = 10.0
+    # SearchBySim3 growth: BASE pixel radius for the bidirectional
+    # projection match that grows the RANSAC correspondences before
+    # OptimizeSim3. The effective per-keypoint radius is
+    # base * scale_factor**octave — the ORBmatcher::SearchBySim3
+    # convention (7.5 * mvScaleFactors[kp.octave]).
+    loop_sim3_grow_radius_px: float = 7.5
     # LM iterations for the global bundle adjustment that follows a loop
     # correction (ORB-SLAM RunGlobalBundleAdjustment; 0 disables). All
     # keyframes are free except the oldest (the gauge anchor).

@@ -326,7 +326,7 @@ def brief_sample_pallas(blurred_padded: jnp.ndarray, sy: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((group, 512), lambda i, rs, cs: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((group, 512), lambda i, rs, cs: (i, 0),
                                memory_space=pltpu.VMEM),

@@ -113,16 +113,29 @@ def solve_spd6(M: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([x1, x2], axis=-1)
 
 
-def solve_damped(H: jnp.ndarray, b: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
+def solve_damped(
+    H: jnp.ndarray,
+    b: jnp.ndarray,
+    lam: jnp.ndarray,
+    batched: bool | None = None,
+) -> jnp.ndarray:
     """Solve (H + lam*diag(H)) dx = b for a small dense system (the
     multiplicative damping g2o's ``setLambda`` applies to the diagonal).
     BATCHED 6-dim SPD systems take the closed-form block-Schur path
     (one LU pivot loop per batch element would serialize); unbatched
     systems use pivoted LU, which the on-chip A/B measured 1.4x faster
-    than the closed form at batch 1 (see ``solve_spd6``)."""
+    than the closed form at batch 1 (see ``solve_spd6``).
+
+    ``batched`` must be passed EXPLICITLY by callers that are wrapped in
+    ``jax.vmap`` (multi-sequence DP runners): under vmap H traces as 2-D
+    here, so the ndim fallback cannot see the batch axis and would pick
+    the per-element LU the closed form exists to avoid. ``None`` keeps
+    the trace-time ndim heuristic for direct (un-vmapped) callers."""
     diag = jnp.diagonal(H, axis1=-2, axis2=-1)
     eye = jnp.eye(H.shape[-1], dtype=H.dtype)
     Hd = H + lam * eye * diag[..., None, :]
-    if H.shape[-1] == 6 and H.ndim > 2:
+    if batched is None:
+        batched = H.ndim > 2
+    if H.shape[-1] == 6 and batched:
         return solve_spd6(Hd, b)
     return jnp.linalg.solve(Hd, b)

@@ -83,7 +83,8 @@ def _robust_cost(r, inv_sigma2, active, use_huber, delta2):
 
 
 def _lm_rounds(R, t, r0, J0, z0, pts, uv, inv_sigma2, active, fx, fy, cx, cy,
-               iters: int, use_huber: bool, delta_scale: float = 1.0):
+               iters: int, use_huber: bool, delta_scale: float = 1.0,
+               batched_solve: bool = False):
     """One optimization stage: `iters` LM steps over the active subset.
 
     Speculative-accept structure: the carry holds the linearization
@@ -110,7 +111,7 @@ def _lm_rounds(R, t, r0, J0, z0, pts, uv, inv_sigma2, active, fx, fy, cx, cy,
         w = jnp.where(active, w * inv_sigma2, 0.0)
         H = jnp.einsum("nri,n,nrj->ij", J, w, J)
         b = jnp.einsum("nri,n,nr->i", J, w, r)
-        dx = solve_damped(H, -b, lam)
+        dx = solve_damped(H, -b, lam, batched=batched_solve)
         dR, dt = se3.se3_exp(dx)
         R_new = dR @ Rc
         t_new = dR @ tc + dt
@@ -140,7 +141,8 @@ def _lm_rounds(R, t, r0, J0, z0, pts, uv, inv_sigma2, active, fx, fy, cx, cy,
     return R, t, cost, r, J, z
 
 
-@partial(jax.jit, static_argnames=("rounds", "iters_per_round", "coarse_delta_scale"))
+@partial(jax.jit, static_argnames=("rounds", "iters_per_round",
+                                   "coarse_delta_scale", "batched_solve"))
 def optimize_pose(
     R0: jnp.ndarray,
     t0: jnp.ndarray,
@@ -152,6 +154,7 @@ def optimize_pose(
     rounds: int = 4,
     iters_per_round: int = 10,
     coarse_delta_scale: float = 25.0,
+    batched_solve: bool = False,
 ) -> PoseOptResult:
     """Optimize a world-to-camera pose against known 3D points.
 
@@ -161,6 +164,10 @@ def optimize_pose(
     ``coarse_delta_scale`` widens the first round's Huber basin; callers
     seeding from far-away poses (relocalization) pass a larger value so
     the expected residual magnitude stays inside the quadratic region.
+    Callers that wrap this function in ``jax.vmap`` (multi-sequence DP)
+    MUST pass ``batched_solve=True`` so the 6x6 damped solve takes the
+    closed-form block-Schur path instead of one LU per batch element
+    (under vmap the solve cannot detect the batch axis itself).
     """
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     R, t = R0, t0
@@ -175,7 +182,7 @@ def optimize_pose(
         delta_scale = coarse_delta_scale if rnd == 0 else 1.0
         R, t, cost, r, J, z = _lm_rounds(
             R, t, r, J, z, pts, uv, inv_sigma2, inlier, fx, fy, cx, cy,
-            iters_per_round, use_huber, delta_scale,
+            iters_per_round, use_huber, delta_scale, batched_solve,
         )
         # reclassify against the full set each round (an outlier can return);
         # r/z are already the residuals at the returned pose

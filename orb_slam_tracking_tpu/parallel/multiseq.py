@@ -78,7 +78,10 @@ def make_multiseq_step(
         inv_s2 = 1.0 / orb_cfg.scale_factor ** (
             2.0 * kps.octave[jnp.clip(kp_idx, 0)].astype(jnp.float32)
         )
-        res = optimize_pose(R, t, map_pts, uv_obs, inv_s2, matched, K)
+        # batched_solve: per_sequence runs under vmap, where the 6x6
+        # damped solve must be told about the batch axis explicitly
+        res = optimize_pose(R, t, map_pts, uv_obs, inv_s2, matched, K,
+                            batched_solve=True)
         return res.R, res.t, res.n_inliers, pm.n_matches, kps.count()
 
     batched = jax.vmap(per_sequence, in_axes=(0, 0, 0, 0, 0, 0, None))
@@ -123,7 +126,8 @@ def make_multiseq_sequence_runner(
     """
     from ..slam.fused_step import make_tracking_step
 
-    step = make_tracking_step(cam_cfg, orb_cfg, matcher_cfg, tracker_cfg)
+    step = make_tracking_step(cam_cfg, orb_cfg, matcher_cfg, tracker_cfg,
+                              batched_solve=True)
 
     def per_sequence(images, map_pts, map_desc, map_valid, R0, t0, K):
         # no per-point viewing statistics in the frozen-map DP slice:
@@ -289,6 +293,7 @@ def make_multiseq_init_runner(
                     Ro, to, mp, xy_un[safe], inv_s2, matched, K,
                     rounds=tracker_cfg.pose_opt_rounds,
                     iters_per_round=tracker_cfg.pose_opt_iters,
+                    batched_solve=True,
                 )
 
             pm1 = match(R_pred, t_pred, radius)
@@ -397,7 +402,7 @@ def make_multiseq_mapping_runner(
 
     run1 = make_device_sequence_loop(
         cam_cfg, orb_cfg, matcher_cfg, tracker_cfg,
-        tri_cap=tri_cap, obs_cap=obs_cap,
+        tri_cap=tri_cap, obs_cap=obs_cap, batched_solve=True,
     )
     batched = jax.vmap(run1, in_axes=(0, 0, 0, 0, None, 0, 0, 0))
 

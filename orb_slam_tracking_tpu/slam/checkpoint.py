@@ -120,9 +120,6 @@ def load_tracker(tracker: Tracker, path: str) -> Tracker:
             bow=jnp.asarray(z["kfdb_bow"].astype(np.float32)),
             valid=jnp.asarray(z["kfdb_valid"].astype(bool)),
         )
-    # a resumed WORKING tracker needs a keyframe snapshot before it can
-    # triangulate new points; re-seed lazily from the next keyframe
-    tracker.prev_kf = None
     if tracker.state in (TrackState.INITIALIZING,):
         # reference frame snapshot is not persisted; restart seeding
         tracker.state = TrackState.NOT_INITIALIZED

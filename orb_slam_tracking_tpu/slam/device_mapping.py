@@ -461,7 +461,8 @@ class DeviceLoopOutputs(NamedTuple):
 def make_device_sequence_loop(cam_cfg: CameraConfig, orb_cfg: OrbConfig,
                               matcher_cfg: MatcherConfig,
                               tcfg: TrackerConfig,
-                              tri_cap: int = 256, obs_cap: int = 512):
+                              tri_cap: int = 256, obs_cap: int = 512,
+                              batched_solve: bool = False):
     """Whole-sequence tracking WITH keyframe lifecycle as one jitted scan.
 
     Returned signature:
@@ -472,7 +473,8 @@ def make_device_sequence_loop(cam_cfg: CameraConfig, orb_cfg: OrbConfig,
     The initial map comes from the host bootstrap (Tracker init or
     ``parallel.multiseq.make_multiseq_init_runner``).
     """
-    step = make_tracking_step(cam_cfg, orb_cfg, matcher_cfg, tcfg)
+    step = make_tracking_step(cam_cfg, orb_cfg, matcher_cfg, tcfg,
+                              batched_solve=batched_solve)
     insert = make_device_insert_keyframe(
         cam_cfg, orb_cfg, matcher_cfg, tcfg, tri_cap, obs_cap)
 

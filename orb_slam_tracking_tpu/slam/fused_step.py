@@ -57,6 +57,7 @@ def make_tracking_step(
     matcher_cfg: MatcherConfig,
     tracker_cfg: TrackerConfig,
     radius_scale: float = 1.0,
+    batched_solve: bool = False,
 ):
     """Build the jitted fused step.
 
@@ -71,7 +72,9 @@ def make_tracking_step(
     widens the stage-1 window (the host's low-match retry builds a 2x
     variant). ``map_normal/map_dmin/map_dmax`` are the per-point viewing
     statistics driving the isInFrustum gates (zeros disable them
-    per-point — see search_by_projection).
+    per-point — see search_by_projection). Builders that vmap the
+    returned step over a sequence batch must pass ``batched_solve=True``
+    so the pose-LM 6x6 solve keeps the closed form under vmap.
     """
     radius = tracker_cfg.projection_radius * radius_scale
     tight = tracker_cfg.local_map_radius
@@ -108,6 +111,7 @@ def make_tracking_step(
                 R, t, map_pts, uv_obs, inv_s2, matched, K,
                 rounds=tracker_cfg.pose_opt_rounds,
                 iters_per_round=tracker_cfg.pose_opt_iters,
+                batched_solve=batched_solve,
             )
 
         pm1 = match(R_pred, t_pred, radius)

@@ -56,8 +56,8 @@ _SIM3_CAP = 512
 
 
 @jax.jit
-def _grow_sim3_matches(g: Sim3, x1, v1, d1, uv1, x2, v2, d2, uv2,
-                       K, r_px, th):
+def _grow_sim3_matches(g: Sim3, x1, v1, d1, uv1, o1, x2, v2, d2, uv2, o2,
+                       K, r_px, th, scale_factor):
     """Bidirectional Sim(3)-projection match growing — the
     ``ORBmatcher::SearchBySim3`` role (``LoopClosing::ComputeSim3`` grows
     the RANSAC solution's correspondences before ``OptimizeSim3``; the
@@ -66,11 +66,16 @@ def _grow_sim3_matches(g: Sim3, x1, v1, d1, uv1, x2, v2, d2, uv2,
 
     ``x1``/``x2`` are the two keyframes' map points in their OWN camera
     frames, ``g`` maps frame-2 camera coords into frame 1. A pair (i, j)
-    is eligible when j's point projects within ``r_px`` of keypoint i in
-    image 1 AND i's point projects within ``r_px`` of keypoint j in
-    image 2 (the reference's check-both-directions agreement), with
-    Hamming <= ``th`` (TH_HIGH — no ratio test in SearchBySim3). Returns
-    j_for_i [N1] int32 (-1 = none), mutual-best by descriptor distance.
+    is eligible when j's point projects within the octave-scaled radius
+    of keypoint i in image 1 AND i's point projects within the radius of
+    keypoint j in image 2 (the reference's check-both-directions
+    agreement), with Hamming <= ``th`` (TH_HIGH — no ratio test in
+    SearchBySim3). The per-keypoint radius follows the SearchBySim3
+    convention ``r_px * scale_factor**octave`` of the keypoint being
+    matched against (the reference family's 7.5 * mvScaleFactors[octave];
+    the Sim(3) types it serves: ``Thirdparty/g2o/g2o/types/
+    types_seven_dof_expmap.h:48-152``). Returns j_for_i [N1] int32
+    (-1 = none), mutual-best by descriptor distance.
     """
     from ..ops.hamming import hamming_matrix
 
@@ -89,10 +94,13 @@ def _grow_sim3_matches(g: Sim3, x1, v1, d1, uv1, x2, v2, d2, uv2,
 
     d_fwd = jnp.sum((uv1[:, None, :] - uv2_in_1[None, :, :]) ** 2, -1)
     d_bwd = jnp.sum((uv1_in_2[:, None, :] - uv2[None, :, :]) ** 2, -1)
+    r1 = r_px * scale_factor ** o1.astype(jnp.float32)   # [N1]
+    r2 = r_px * scale_factor ** o2.astype(jnp.float32)   # [N2]
     D = hamming_matrix(d1, d2)
     big = 1 << 20
     elig = (v1[:, None] & v2[None, :] & ok1[:, None] & ok2[None, :]
-            & (d_fwd <= r_px * r_px) & (d_bwd <= r_px * r_px) & (D <= th))
+            & (d_fwd <= (r1 * r1)[:, None]) & (d_bwd <= (r2 * r2)[None, :])
+            & (D <= th))
     Dm = jnp.where(elig, D, big)
     best = jnp.min(Dm, axis=1)
     best_j = jnp.argmin(Dm, axis=1)
@@ -138,6 +146,8 @@ class LoopCloser:
     def __init__(self, cfg: SystemConfig, K: np.ndarray, vocab=None):
         self.cfg = cfg
         self.K = jnp.asarray(K, jnp.float32)
+        # pyramid scale for the octave-scaled SearchBySim3 radius
+        self.scale_factor = float(cfg.orb.scale_factor)
         # vocabulary for direct-index (SearchByBoW) seed matching; None
         # falls back to global ratio-test matching
         self.vocab = vocab
@@ -318,10 +328,12 @@ class LoopCloser:
                 g,
                 jnp.asarray(x1_all), jnp.asarray(v_cur),
                 m.kf_kp_desc[cur], jnp.asarray(uv1_all),
+                m.kf_kp_octave[cur],
                 jnp.asarray(x2_all), jnp.asarray(v_cand),
                 m.kf_kp_desc[cand], jnp.asarray(uv2_all),
+                m.kf_kp_octave[cand],
                 self.K, jnp.float32(tcfg.loop_sim3_grow_radius_px),
-                jnp.int32(100)))
+                jnp.int32(100), jnp.float32(self.scale_factor)))
             j_for_i = np.full(len(matches), -1, np.int64)
             j_for_i[i1] = i2
             used2 = np.zeros(len(v_cand), bool)

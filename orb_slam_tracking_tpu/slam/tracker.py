@@ -298,7 +298,6 @@ class Tracker:
         self.state = TrackState.NO_IMAGES_YET
         self.frame_id = -1
         self.ref: Optional[_FrameSnap] = None       # init reference frame
-        self.prev_kf: Optional[_FrameSnap] = None   # legacy compat (unused)
         self.R = np.eye(3, dtype=np.float32)        # world-to-camera
         self.t = np.zeros(3, dtype=np.float32)
         self.vel_R = np.eye(3, dtype=np.float32)    # T_cur o T_prev^-1
