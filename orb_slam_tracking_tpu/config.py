@@ -208,6 +208,15 @@ class TrackerConfig:
     local_map_radius: float = 3.0
     # Minimum inliers to accept a tracked pose.
     min_tracked_inliers: int = 10
+    # Device-loop LOST recovery (slam/device_mapping.py): when a frame
+    # fails the inlier gate inside the one-scan sequence loop, a
+    # lax.cond tier re-matches the SAME frame's keypoints against the
+    # map at projection_radius * this scale from the last good pose and
+    # re-optimizes with a widened Huber basin — the device twin of the
+    # host's windowed re-acquisition (the reference's LOST state has no
+    # recovery, tracking.hpp:58-65; full ORB-SLAM re-acquires). Paid
+    # only on LOST frames (scalar-predicate cond on TPU). 0 disables.
+    lost_recovery_radius_scale: float = 3.0
     # Pose-only optimizer rounds with outlier reclassification. ORB-SLAM
     # runs 4x10; measured on the closed-loop ground-truth suite, 2 rounds
     # of 6 LM steps tracks with identical ATE at a quarter of the
@@ -237,6 +246,14 @@ class TrackerConfig:
     # Local BA window.
     ba_window: int = 20
     ba_iterations: int = 10
+    # Data-dependent LM convergence gate: stop paying for BA iterations
+    # once an accepted step improves the robust cost by less than this
+    # fraction (the capability of g2o's "Raul" early termination,
+    # optimization_algorithm_levenberg.cpp:154-161, re-expressed as a
+    # lax.cond no-op on the remaining scan steps — optim/ba.py). The
+    # map is warm across keyframe inserts, so most local-BA solves
+    # converge in 2-4 of the ba_iterations budget. 0.0 disables.
+    ba_early_stop_rel: float = 1e-4
     # --- map lifecycle (ORB-SLAM LocalMapping semantics) ---
     # Covisibility-graph triangulation: new points are triangulated against
     # the best-covisible keyframes (CreateNewMapPoints), not just the

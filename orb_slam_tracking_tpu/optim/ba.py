@@ -90,7 +90,8 @@ def _obs_residuals(kf_R, kf_t, pts, obs_kf, obs_pt, obs_uv, fx, fy, cx, cy):
     return r, Jc, Jp, z
 
 
-@partial(jax.jit, static_argnames=("iterations", "max_free_cams"))
+@partial(jax.jit, static_argnames=("iterations", "max_free_cams",
+                                   "early_stop_rel"))
 def bundle_adjust(
     kf_R: jnp.ndarray,
     kf_t: jnp.ndarray,
@@ -105,6 +106,7 @@ def bundle_adjust(
     K: jnp.ndarray,
     iterations: int = 10,
     max_free_cams: int | None = None,
+    early_stop_rel: float = 0.0,
 ) -> BAResult:
     """Joint pose+structure LM over the observation list.
 
@@ -116,6 +118,21 @@ def bundle_adjust(
     axis; free cameras beyond the bound are safely treated as FIXED for
     this solve (zero update) rather than optimized incorrectly.
     None = all cameras (global BA).
+
+    early_stop_rel: > 0 enables the data-dependent convergence gate —
+    the capability of g2o's "Raul" early termination
+    (``Thirdparty/g2o/g2o/core/optimization_algorithm_levenberg.cpp:
+    154-161``: stop once the relative chi2 decrease falls below a
+    threshold) re-expressed for a jitted static-length scan: the scan
+    still runs ``iterations`` steps, but once an ACCEPTED step improves
+    the robust cost by less than ``early_stop_rel * cost`` (or the
+    damping has blown past 1e8 — LM is stuck), every remaining step is a
+    ``lax.cond`` no-op. On TPU a scalar-predicate cond executes only the
+    taken branch, so converged solves stop paying the dispatch-bound
+    iteration cost — the lever the keyframe-insert path needs (warm maps
+    converge in 2-4 iterations). Under ``jax.vmap`` the cond lowers to a
+    select (both branches run): correct, no savings. 0.0 = disabled,
+    bit-identical to the ungated program.
     """
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     nK = kf_R.shape[0]
@@ -144,8 +161,8 @@ def bundle_adjust(
     fidx = jnp.where(in_window, free_rank, nF)
     obs_fidx = fidx[obs_kf]
 
-    def step(carry, _):
-        R, t, X, lam, nu, cost = carry
+    def lm_iter(carry):
+        R, t, X, lam, nu, cost, done = carry
         r, Jc, Jp, _ = _obs_residuals(R, t, X, obs_kf, obs_pt, obs_uv, fx, fy, cx, cy)
         chi2 = jnp.sum(r * r, axis=-1) * w_info
         w = huber_weight(chi2, _CHI2_MONO) * w_info  # [O]
@@ -229,16 +246,28 @@ def bundle_adjust(
         rho = (cost - new_cost) / jnp.maximum(jnp.abs(predc + predp), 1e-9)
         lam_new, nu_new = nielsen_update(lam, nu, rho)
         good = new_cost < cost
+        if early_stop_rel > 0.0:
+            converged = good & (
+                cost - new_cost <= early_stop_rel * jnp.abs(cost))
+            done = done | converged | (lam_new > 1e8)
         R = jnp.where(good, R_new, R)
         t = jnp.where(good, t_new, t)
         X = jnp.where(good, X_new, X)
         cost = jnp.where(good, new_cost, cost)
-        return (R, t, X, lam_new, nu_new, cost), None
+        return (R, t, X, lam_new, nu_new, cost, done)
+
+    def step(carry, _):
+        if early_stop_rel > 0.0:
+            carry = jax.lax.cond(carry[-1], lambda c: c, lm_iter, carry)
+        else:
+            carry = lm_iter(carry)
+        return carry, None
 
     cost0 = robust_cost(kf_R, kf_t, pts)
-    (R, t, X, _, _, cost), _ = jax.lax.scan(
+    (R, t, X, _, _, cost, _), _ = jax.lax.scan(
         step,
-        (kf_R, kf_t, pts, jnp.float32(1e-4), jnp.float32(2.0), cost0),
+        (kf_R, kf_t, pts, jnp.float32(1e-4), jnp.float32(2.0), cost0,
+         jnp.asarray(False)),
         None,
         length=iterations,
     )

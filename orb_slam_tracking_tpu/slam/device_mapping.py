@@ -34,11 +34,13 @@ Loop closing stays host-side (`slam/loop_closing.py`): it is rare,
 graph-irregular, and host orchestration costs nothing at its frequency.
 
 Differences from the host tracker (documented, deliberate):
-- no wide-radius rematch retry on low-match frames (the retry doubles
-  the compiled extract+match program; the loop instead keeps the last
-  pose and flags the frame),
-- LOST frames freeze the pose and keep trying with the last-good pose
-  (the host's windowed re-acquisition without the BoW candidate stage),
+- a frame that fails the inlier gate triggers the LOST-recovery tier
+  IN the scan: a wide-radius (``projection_radius *
+  lost_recovery_radius_scale``) re-match of the same frame's keypoints
+  from the last good pose plus a widened-basin pose LM, under a
+  ``lax.cond`` so it is paid only on failed frames — the device twin of
+  the host's windowed re-acquisition (the BoW relocalization candidate
+  stage stays host-side),
 - neighbor-sequential fusion semantics are preserved exactly (a static
   unrolled loop over the ``covis_keyframes`` axis).
 """
@@ -441,6 +443,7 @@ def make_device_insert_keyframe(cam_cfg: CameraConfig, orb_cfg: OrbConfig,
             fixed, m.pt_valid, K,
             iterations=tcfg.ba_iterations,
             max_free_cams=tcfg.ba_window,
+            early_stop_rel=tcfg.ba_early_stop_rel,
         )
         m = apply_ba_result(m, res)
         m = update_normal_and_depth(m, scale, orb_cfg.n_levels)
@@ -473,10 +476,15 @@ def make_device_sequence_loop(cam_cfg: CameraConfig, orb_cfg: OrbConfig,
     The initial map comes from the host bootstrap (Tracker init or
     ``parallel.multiseq.make_multiseq_init_runner``).
     """
+    from ..ops.proj_matcher import search_by_projection
+    from ..optim.pose_opt import optimize_pose
+
     step = make_tracking_step(cam_cfg, orb_cfg, matcher_cfg, tcfg,
                               batched_solve=batched_solve)
     insert = make_device_insert_keyframe(
         cam_cfg, orb_cfg, matcher_cfg, tcfg, tri_cap, obs_cap)
+    scale_f = orb_cfg.scale_factor
+    recov_radius = tcfg.projection_radius * tcfg.lost_recovery_radius_scale
 
     @jax.jit
     def run(images, m0: SlamMap, R0, t0, K, frame_id0, kf_count0,
@@ -491,26 +499,102 @@ def make_device_sequence_loop(cam_cfg: CameraConfig, orb_cfg: OrbConfig,
             r = step(image, m.pts, m.desc, m.pt_valid,
                      m.pt_normal, m.pt_dmin, m.pt_dmax,
                      R_pred, t_pred, R, t, K)
-            good = r.n_inliers >= tcfg.min_tracked_inliers
+            good0 = r.n_inliers >= tcfg.min_tracked_inliers
+
+            # LOST recovery tier: wide-radius re-match of the SAME
+            # frame's keypoints from the last good pose + pose LM with a
+            # widened Huber basin — the host tracker's windowed
+            # re-acquisition, paid only on failed frames (lax.cond).
+            def recover(_):
+                # Stage 1: wide-radius re-match from the last good pose
+                # + pose LM with a widened Huber basin (the big jump).
+                pmw = search_by_projection(
+                    m.pts, m.desc, m.pt_valid, R, t, K,
+                    r.kps.desc, r.xy_un, r.kps.valid, recov_radius,
+                    matcher_cfg, cam_cfg.width, cam_cfg.height,
+                    kp_octave=r.kps.octave, scale_factor=scale_f,
+                    pt_normal=m.pt_normal, pt_dmin=m.pt_dmin,
+                    pt_dmax=m.pt_dmax, n_levels=orb_cfg.n_levels)
+                kp_idx = pmw.kp_for_point
+                matched = kp_idx >= 0
+                safe = jnp.clip(kp_idx, 0)
+                inv_s2 = 1.0 / scale_f ** (
+                    2.0 * r.kps.octave[safe].astype(jnp.float32))
+                resw = optimize_pose(
+                    R, t, m.pts, r.xy_un[safe], inv_s2, matched, K,
+                    rounds=tcfg.pose_opt_rounds,
+                    iters_per_round=tcfg.pose_opt_iters,
+                    coarse_delta_scale=25.0,
+                    batched_solve=batched_solve)
+                # Stage 2: narrow re-match from the recovered pose +
+                # standard LM — the host/ORB-SLAM re-acquisition's second
+                # SearchByProjection pass that tightens the jumped pose
+                # (Tracker relocalization refine; reference intent
+                # tracking.hpp:58-65).
+                pmn = search_by_projection(
+                    m.pts, m.desc, m.pt_valid, resw.R, resw.t, K,
+                    r.kps.desc, r.xy_un, r.kps.valid,
+                    tcfg.projection_radius,
+                    matcher_cfg, cam_cfg.width, cam_cfg.height,
+                    kp_octave=r.kps.octave, scale_factor=scale_f,
+                    pt_normal=m.pt_normal, pt_dmin=m.pt_dmin,
+                    pt_dmax=m.pt_dmax, n_levels=orb_cfg.n_levels)
+                kp_idx2 = pmn.kp_for_point
+                matched2 = kp_idx2 >= 0
+                safe2 = jnp.clip(kp_idx2, 0)
+                inv_s2b = 1.0 / scale_f ** (
+                    2.0 * r.kps.octave[safe2].astype(jnp.float32))
+                resn = optimize_pose(
+                    resw.R, resw.t, m.pts, r.xy_un[safe2], inv_s2b,
+                    matched2, K,
+                    rounds=tcfg.pose_opt_rounds,
+                    iters_per_round=tcfg.pose_opt_iters,
+                    batched_solve=batched_solve)
+                # keep stage 2 only if it held at least stage 1's support
+                # (a bad narrow re-match must not undo the wide recovery)
+                ok2 = resn.n_inliers >= resw.n_inliers
+                return (jnp.where(ok2, resn.R, resw.R),
+                        jnp.where(ok2, resn.t, resw.t),
+                        jnp.where(ok2, resn.n_inliers, resw.n_inliers),
+                        jnp.where(ok2, pmn.kp_for_point, pmw.kp_for_point),
+                        jnp.where(ok2, resn.inlier, resw.inlier),
+                        jnp.where(ok2, pmn.visible, pmw.visible))
+
+            def keep(_):
+                return (r.R, r.t, r.n_inliers, r.kp_for_point,
+                        r.inlier, r.visible)
+
+            if tcfg.lost_recovery_radius_scale > 0:
+                (R_opt, t_opt, n_inl, kp_for_point, inlier,
+                 visible) = jax.lax.cond(good0, keep, recover, None)
+            else:
+                R_opt, t_opt, n_inl, kp_for_point, inlier, visible = keep(
+                    None)
+
+            good = n_inl >= tcfg.min_tracked_inliers
+            recovered = good & ~good0
             # mnVisible/mnFound tallies (culling input, host parity)
-            found = (r.kp_for_point >= 0) & m.pt_valid
+            found = (kp_for_point >= 0) & m.pt_valid
             m = m._replace(
                 pt_visible=m.pt_visible
-                + (r.visible & m.pt_valid).astype(jnp.int32),
+                + (visible & m.pt_valid).astype(jnp.int32),
                 pt_found=m.pt_found + found.astype(jnp.int32),
             )
-            R_new = jnp.where(good, r.R, R)
-            t_new = jnp.where(good, r.t, t)
-            vel_R_new = jnp.where(good, r.R @ R.T, vel_R)
-            vel_t_new = jnp.where(good, r.t - (r.R @ R.T) @ t, vel_t)
-            have_vel = good | have_vel & ~good  # freeze velocity on lost
+            R_new = jnp.where(good, R_opt, R)
+            t_new = jnp.where(good, t_opt, t)
+            # velocity only from CONTINUOUS good frames; a recovered pose
+            # jumped, so its velocity is stale (host parity: reloc clears
+            # have_velocity)
+            vel_R_new = jnp.where(good0, r.R @ R.T, vel_R)
+            vel_t_new = jnp.where(good0, r.t - (r.R @ R.T) @ t, vel_t)
+            have_vel = jnp.where(recovered, False, good0 | have_vel)
             fsk = fsk + 1
 
             need_kf = good & (fsk >= tcfg.min_frames + 1) & (
                 (fsk >= tcfg.max_frames)
-                | (r.n_inliers.astype(jnp.float32)
+                | (n_inl.astype(jnp.float32)
                    < 0.9 * ref_inl.astype(jnp.float32))
-                | (r.n_inliers < tcfg.min_tracked_inliers * 5)
+                | (n_inl < tcfg.min_tracked_inliers * 5)
             )
 
             def do_insert(args):
@@ -518,7 +602,7 @@ def make_device_sequence_loop(cam_cfg: CameraConfig, orb_cfg: OrbConfig,
                 m2, _, support = insert(
                     m_, R_new, t_new, K, fid, kfc_,
                     r.kps.desc, r.kps.octave, r.kps.angle_deg,
-                    r.kps.valid, r.xy_un, r.kp_for_point, r.inlier)
+                    r.kps.valid, r.xy_un, kp_for_point, inlier)
                 return m2, kfc_ + 1, support
 
             def no_insert(args):
@@ -530,7 +614,7 @@ def make_device_sequence_loop(cam_cfg: CameraConfig, orb_cfg: OrbConfig,
             fsk = jnp.where(need_kf, 0, fsk)
             carry = (m, R_new, t_new, vel_R_new, vel_t_new, have_vel,
                      fsk, ref_new, fid + 1, kfc)
-            out = (R_new, t_new, r.n_inliers, r.n_kps, need_kf, ~good)
+            out = (R_new, t_new, n_inl, r.n_kps, need_kf, ~good)
             return carry, out
 
         carry0 = (m0, R0, t0, jnp.eye(3), jnp.zeros(3),

@@ -747,6 +747,7 @@ class LoopCloser:
             jnp.asarray(fixed), m.pt_valid, self.K,
             iterations=tcfg.loop_global_ba_iterations,
             max_free_cams=None,
+            early_stop_rel=tcfg.ba_early_stop_rel,
         )
         return apply_ba_result(m, res), {
             "gba_cost0": float(res.cost0),

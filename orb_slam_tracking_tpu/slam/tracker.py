@@ -1157,6 +1157,7 @@ class Tracker:
             jnp.asarray(fixed), m.pt_valid, self.K,
             iterations=cfg.tracker.ba_iterations,
             max_free_cams=window,
+            early_stop_rel=cfg.tracker.ba_early_stop_rel,
         )
         # adopt poses/points and prune observations reclassified as
         # outliers (Frame.hpp:91-93's lifecycle; slam.map.apply_ba_result)

@@ -184,3 +184,50 @@ def test_overflow_free_cams_demoted_to_fixed(rng):
         np.asarray(res.kf_t)[4:], kf_t0[4:])
     # the solve still reduces cost (window cams + points moved)
     assert float(res.cost) < float(res.cost0)
+
+
+def test_ba_early_stop_gate_matches_ungated(rng):
+    """The data-dependent convergence gate (ba.early_stop_rel, the g2o
+    "Raul" early-termination capability) must not change WHERE the solve
+    converges — only how many scan steps do work. On a well-conditioned
+    problem both variants reach the same cost basin and poses."""
+    nK, nP = 6, 150
+    _, kf_Rg, _, pts0, kf_R0, kf_t0, obs_kf, obs_pt, obs_uv = _ba_problem(rng)
+    fixed = np.zeros(nK, bool)
+    fixed[0] = True
+    O = len(obs_kf)
+    args = (
+        jnp.asarray(kf_R0), jnp.asarray(kf_t0), jnp.asarray(pts0),
+        jnp.asarray(obs_kf), jnp.asarray(obs_pt), jnp.asarray(obs_uv),
+        jnp.ones(O), jnp.ones(O, bool), jnp.asarray(fixed),
+        jnp.ones(nP, bool), jnp.asarray(K),
+    )
+    ref = bundle_adjust(*args, iterations=15)
+    gated = bundle_adjust(*args, iterations=15, early_stop_rel=1e-4)
+    # both converge hard; the gate stops within the same basin
+    assert float(gated.cost) < float(gated.cost0) / 10
+    assert float(gated.cost) <= float(ref.cost) * 1.02 + 1e-3
+    assert np.abs(np.asarray(gated.kf_R) - np.asarray(ref.kf_R)).max() < 5e-4
+    assert np.abs(np.asarray(gated.kf_t) - np.asarray(ref.kf_t)).max() < 5e-3
+
+
+def test_ba_early_stop_gate_skips_iterations(rng):
+    """Once gated-out, extra iterations are no-ops: running 15 vs 50
+    iterations with the gate produces bit-identical results (the scan's
+    remaining steps take the identity branch)."""
+    nK, nP = 6, 150
+    _, _, _, pts0, kf_R0, kf_t0, obs_kf, obs_pt, obs_uv = _ba_problem(rng)
+    fixed = np.zeros(nK, bool)
+    fixed[0] = True
+    O = len(obs_kf)
+    args = (
+        jnp.asarray(kf_R0), jnp.asarray(kf_t0), jnp.asarray(pts0),
+        jnp.asarray(obs_kf), jnp.asarray(obs_pt), jnp.asarray(obs_uv),
+        jnp.ones(O), jnp.ones(O, bool), jnp.asarray(fixed),
+        jnp.ones(nP, bool), jnp.asarray(K),
+    )
+    a = bundle_adjust(*args, iterations=15, early_stop_rel=1e-3)
+    b = bundle_adjust(*args, iterations=50, early_stop_rel=1e-3)
+    assert float(a.cost) == float(b.cost)
+    assert np.array_equal(np.asarray(a.kf_R), np.asarray(b.kf_R))
+    assert np.array_equal(np.asarray(a.pts), np.asarray(b.pts))

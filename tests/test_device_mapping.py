@@ -137,3 +137,86 @@ def test_device_loop_is_jit_pure(rng):
     np.testing.assert_array_equal(np.asarray(m1.pts), np.asarray(m2.pts))
     np.testing.assert_array_equal(
         np.asarray(m1.obs_valid), np.asarray(m2.obs_valid))
+
+
+def test_device_loop_recovers_from_blackout(rng):
+    """The LOST-recovery tier (wide-radius re-match + widened-basin pose
+    LM under lax.cond): a mid-sequence sensor blackout (blank frames)
+    loses tracking; once frames return the loop must re-acquire INSIDE
+    the scan and finish with bounded rotation error. With the tier
+    disabled the same sequence must do no better — proving the tier is
+    what recovers."""
+    tcfg = dict(
+        max_map_points=1024, max_keyframes=12, ba_window=4,
+        ba_iterations=4, max_frames=5, use_loop_closing=False,
+        use_bow=False,
+    )
+    cfg = SystemConfig(
+        camera=CAM, orb=OrbConfig(n_features=1000),
+        tracker=TrackerConfig(**tcfg),
+    )
+    field = CornerField(rng, n=900)
+    n_frames = 40
+    poses = make_trajectory(n_frames, "strafe")
+    frames = [render_frame(field, CAM, R, t) for R, t in poses]
+
+    tr = Tracker(cfg)
+    i = 0
+    while i < n_frames and tr.state != TrackState.WORKING:
+        tr.track(frames[i], i / 30.0)
+        i += 1
+    assert tr.state == TrackState.WORKING, "bootstrap failed"
+    boot_end = i
+
+    # blackout: 6 frames of zeros while the camera keeps moving
+    imgs = np.stack(frames[boot_end:]).astype(np.float32)
+    b0 = 6
+    imgs[b0:b0 + 6] = 0.0
+
+    args_tail = (jnp.asarray(tr.R), jnp.asarray(tr.t), tr.K,
+                 jnp.int32(tr.frame_id + 1), jnp.int32(tr.kf_insert_count),
+                 jnp.int32(max(tr.kf_ref_inliers, 1)))
+
+    run = make_device_sequence_loop(
+        cfg.camera, cfg.orb, cfg.matcher, cfg.tracker,
+        tri_cap=64, obs_cap=256,
+    )
+    _, outs = run(jnp.asarray(imgs), tr.map, *args_tail)
+    lost = np.asarray(outs.lost)
+    assert lost[b0:b0 + 6].all(), f"blackout frames not lost: {lost}"
+    # re-acquires and stays locked after the blackout
+    assert not lost[b0 + 7:].any(), f"no recovery after blackout: {lost}"
+
+    # the recovered pose must land back in the CLEAN run's accuracy
+    # envelope. (Absolute error is dominated by the tiny-config
+    # bootstrap's gauge offset — the clean run itself ends ~2.2 deg from
+    # GT — so the meaningful bound is relative to the same sequence
+    # without the blackout, same compiled program.)
+    _, outs_clean = run(jnp.asarray(np.stack(frames[boot_end:])
+                                    .astype(np.float32)),
+                        tr.map, *args_tail)
+    assert not np.asarray(outs_clean.lost).any()
+
+    def end_rot_err(o):
+        Rl = np.asarray(o.R)[-1]
+        Rg, _ = poses[boot_end + len(np.asarray(o.R)) - 1]
+        return float(np.degrees(np.arccos(np.clip(
+            (np.trace(Rl.T @ Rg) - 1) / 2, -1, 1))))
+
+    err, err_clean = end_rot_err(outs), end_rot_err(outs_clean)
+    assert err < err_clean + 0.5, (
+        f"end rotation error {err} deg vs clean {err_clean} deg")
+
+    # ablation: recovery disabled -> strictly more lost frames after the
+    # blackout (the narrow-radius step alone cannot re-acquire)
+    cfg_off = SystemConfig(
+        camera=CAM, orb=OrbConfig(n_features=1000),
+        tracker=TrackerConfig(lost_recovery_radius_scale=0.0, **tcfg),
+    )
+    run_off = make_device_sequence_loop(
+        cfg_off.camera, cfg_off.orb, cfg_off.matcher, cfg_off.tracker,
+        tri_cap=64, obs_cap=256,
+    )
+    _, outs_off = run_off(jnp.asarray(imgs), tr.map, *args_tail)
+    lost_off = np.asarray(outs_off.lost)
+    assert lost_off[b0 + 7:].sum() >= lost[b0 + 7:].sum()
