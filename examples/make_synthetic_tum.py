@@ -57,7 +57,8 @@ def main():
     ap.add_argument("--frames", type=int, default=300)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--mode", default="loop",
-                    choices=["loop", "strafe", "forward", "circuit"])
+                    choices=["loop", "strafe", "forward", "circuit",
+                             "planar", "rotation"])
     ap.add_argument("--points", type=int, default=900)
     ap.add_argument("--noise", type=float, default=0.0,
                     help="per-frame gaussian sensor noise, gray levels. "
@@ -74,6 +75,7 @@ def main():
     from orb_slam_tracking_tpu.utils.synthetic import (
         CornerField,
         make_trajectory,
+        plane_points,
         render_frame,
         ring_points,
     )
@@ -87,11 +89,24 @@ def main():
         # circuit must be absorbed by EXPLICIT loop closing
         n = max(args.points, 2400)
         field = CornerField(rng, pts=ring_points(rng, n=n))
+    elif args.mode == "planar":
+        # PLANAR-DOMINANT: every world point on one fronto-parallel wall.
+        # Two-view initialization must route through the homography
+        # branch end-to-end (the reference's RH ratio model selection,
+        # Initializer.cpp:471-485: a plane degenerates F, RH > 0.40
+        # selects ReconstructH) — the sequence-level exercise of the
+        # H path that unit tests alone don't give.
+        field = CornerField(rng, pts=plane_points(rng, n=args.points))
     else:
-        # a deep, wide field so every loop pose sees plenty of texture
-        field = CornerField(rng, n=args.points, x=(-5.0, 5.0),
+        # a deep, wide field so every loop pose sees plenty of texture;
+        # the rotation sweep pans right, so extend the field that way
+        xr = (-5.0, 8.0) if args.mode == "rotation" else (-5.0, 5.0)
+        field = CornerField(rng, n=args.points, x=xr,
                             y=(-3.5, 3.5), z=(3.0, 10.0))
-    poses = make_trajectory(args.frames, args.mode)
+    # the planar world pairs with the strafe trajectory (translation
+    # parallel to the wall maximizes the plane-induced homography)
+    traj_mode = "strafe" if args.mode == "planar" else args.mode
+    poses = make_trajectory(args.frames, traj_mode)
 
     rgb_dir = os.path.join(args.out_dir, "rgb")
     os.makedirs(rgb_dir, exist_ok=True)

@@ -16,7 +16,8 @@ import numpy as np
 
 from ..config import CameraConfig
 
-__all__ = ["CornerField", "render_frame", "make_trajectory"]
+__all__ = ["CornerField", "render_frame", "make_trajectory",
+           "plane_points", "ring_points"]
 
 
 class CornerField:
@@ -69,6 +70,23 @@ def ring_points(rng: np.random.Generator, n: int = 2400,
         cx + r * np.sin(phi),
         cy + rng.uniform(*y, n),
         cz + r * np.cos(phi),
+    ], -1).astype(np.float32)
+
+
+def plane_points(rng: np.random.Generator, n: int = 900,
+                 x=(-7.0, 6.0), y=(-4.5, 4.5), z: float = 6.5,
+                 depth_jitter: float = 0.0) -> np.ndarray:
+    """Points on (or near) a fronto-parallel wall at depth ``z`` — the
+    PLANAR-DOMINANT world. Two-view initialization on this scene must
+    select the homography branch (the reference computes H and F in
+    parallel and picks by the RH ratio, Initializer.cpp:471-485: a plane
+    makes F degenerate, so RH > 0.40 routes through ReconstructH); this
+    is the world that exercises that path end-to-end rather than only in
+    unit tests."""
+    return np.stack([
+        rng.uniform(*x, n),
+        rng.uniform(*y, n),
+        np.full(n, z, np.float32) + rng.uniform(-depth_jitter, depth_jitter, n),
     ], -1).astype(np.float32)
 
 
@@ -125,6 +143,19 @@ def make_trajectory(n_frames: int, mode: str = "strafe") -> List[Tuple[np.ndarra
         elif mode == "forward":
             yaw = np.radians(2.0 * s)
             cwx, cwy, cwz = -0.2 * s, 0.0, 1.5 * s
+        elif mode == "rotation":
+            # rotation-dominant, small-baseline sweep: ~24 deg of yaw
+            # against only ~0.3 m of sideways travel. Per-frame image
+            # motion is rotation-driven; monocular init must wait until
+            # the accumulated baseline clears the parallax gate (the
+            # reference rejects low-parallax pairs, CheckRT's
+            # parallax >= 1 deg gate) and the motion model must track
+            # through sustained rotation — the classic mono-SLAM stress
+            # axis.
+            yaw = np.radians(24.0 * s)
+            cwx = -0.3 * s
+            cwy = 0.04 * np.sin(2 * np.pi * s)
+            cwz = 0.0
         elif mode == "loop":
             # closed circuit in the x-y plane, returning exactly to the
             # start: the camera revisits its first view at the end, which

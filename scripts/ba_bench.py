@@ -13,10 +13,17 @@ The SAME synthetic problem feeds two solvers:
 - ``--run``: measure this framework's ``optim.ba.bundle_adjust`` on the
   current backend (chained two-point timing, 10-iteration solves).
 
-Problem: 20 keyframes strafing along x, 5120 points in a frustum box,
-each point observed by 4 consecutive cameras = 20480 observations;
-0.5 px observation noise; initial estimates perturbed (rot ~1.5 deg,
-trans 0.05, points 2%); keyframes 0 and 1 fixed (gauge + scale).
+Canonical problem (``--shape local20``): 20 keyframes strafing along x,
+5120 points in a frustum box, each point observed by 4 consecutive
+cameras = 20480 observations; 0.5 px observation noise; initial
+estimates perturbed (rot ~1.5 deg, trans 0.05, points 2%); keyframes 0
+and 1 fixed (gauge + scale).
+
+Scale study shapes (round 4 — the 20-KF number is a LATENCY
+measurement; these are the THROUGHPUT ones where the MXU should pull
+away from the CPU anchor):
+  ``local64``  — 64 KF / 16384 pts / 65536 obs (large local window)
+  ``global96`` — 96 KF / 24576 pts / 98304 obs (global-BA scale)
 """
 
 import argparse
@@ -29,15 +36,18 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-N_KF = 20
-N_PT = 5120
-OBS_PER_PT = 4
+SHAPES = {
+    "local20": (20, 5120, 4),
+    "local64": (64, 16384, 4),
+    "global96": (96, 24576, 4),
+}
 FX = FY = 450.0
 CX, CY = 320.0, 240.0
 ITERS = 10
 
 
-def make_problem(seed=0):
+def make_problem(seed=0, shape="local20"):
+    N_KF, N_PT, OBS_PER_PT = SHAPES[shape]
     rng = np.random.default_rng(seed)
     # ground-truth cameras: strafe along +x, slight look-at jitter
     kf_t_gt = np.stack([
@@ -89,6 +99,7 @@ def make_problem(seed=0):
 
 
 def dump(path, p):
+    N_KF, N_PT = len(p["kf_fixed"]), len(p["pts0"])
     with open(path, "wb") as f:
         f.write(b"BABM")
         f.write(struct.pack("<iii", N_KF, N_PT, len(p["obs_kf"])))
@@ -102,7 +113,8 @@ def dump(path, p):
         f.write(np.ascontiguousarray(p["obs_uv"], np.float64).tobytes())
 
 
-def run(p, platform=None, repeats_a=2, repeats_b=6):
+def run(p, platform=None, repeats_a=2, repeats_b=6, shape="local20"):
+    N_KF, N_PT = len(p["kf_fixed"]), len(p["pts0"])
     import jax
 
     if platform:
@@ -165,7 +177,7 @@ def run(p, platform=None, repeats_a=2, repeats_b=6):
     from orb_slam_tracking_tpu.optim.ba import bundle_adjust as ba
     res = ba(R0, t0, X0, **args)
     return {
-        "metric": "local_ba_20kf_5120pt_lm_iters_per_s",
+        "metric": f"ba_{shape}_{N_KF}kf_{N_PT}pt_lm_iters_per_s",
         "value": round(ITERS / per_solve, 2),
         "unit": "LM iters/s",
         "ms_per_10iter_solve": round(per_solve * 1e3, 2),
@@ -180,13 +192,14 @@ def main():
     ap.add_argument("--run", action="store_true")
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
+    ap.add_argument("--shape", default="local20", choices=sorted(SHAPES))
     a = ap.parse_args()
-    p = make_problem()
+    p = make_problem(shape=a.shape)
     if a.dump:
         dump(a.dump, p)
         print(f"wrote {a.dump}", file=sys.stderr)
     if a.run:
-        print(json.dumps(run(p, a.platform)))
+        print(json.dumps(run(p, a.platform, shape=a.shape)))
 
 
 if __name__ == "__main__":

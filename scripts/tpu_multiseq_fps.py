@@ -35,7 +35,7 @@ import numpy as np
 
 T1 = int(os.environ.get("ORB_MS_T1", "48"))
 T2 = int(os.environ.get("ORB_MS_T2", "192"))
-N_FRAMES = 200
+N_FRAMES = 260  # bootstrap consumes ~10; the rest must cover T2
 BATCHES = tuple(
     int(b) for b in os.environ.get("ORB_MS_BATCHES", "1,2,4,8").split(","))
 
@@ -177,12 +177,21 @@ def main():
         raise SystemExit(f"unknown child {argv[1]}")
     seed = "/tmp/multiseq_fps_seed.npz"
     me = os.path.abspath(__file__)
-    if not os.path.exists(seed):
+    # a stale seed from another session may have different N_FRAMES/T
+    need_seed = True
+    if os.path.exists(seed):
+        try:
+            need_seed = len(np.load(seed)["frames"]) < T2
+        except Exception:
+            need_seed = True
+    if need_seed:
         subprocess.run([sys.executable, me, "--child", "seed", seed],
                        timeout=1800, check=True)
     results = []
     for B in BATCHES:
         out = f"/tmp/multiseq_fps_B{B}.json"
+        if os.path.exists(out):
+            os.remove(out)  # never report a stale run
         subprocess.run([sys.executable, me, "--child", "tpu", seed,
                         str(B), out], timeout=1500, check=False)
         if os.path.exists(out):
