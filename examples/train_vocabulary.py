@@ -29,6 +29,11 @@ def main():
     ap.add_argument("-k", type=int, default=10, help="branching factor")
     ap.add_argument("-L", "--depth", type=int, default=4, help="tree depth")
     ap.add_argument("--n-features", type=int, default=1000)
+    ap.add_argument("--max-descriptors", type=int, default=200_000,
+                    help="subsample the pooled corpus to this many "
+                         "descriptors before clustering. Scale with the "
+                         "tree: a k=10 L=5 (100k-word) vocabulary needs "
+                         "several descriptors per leaf to be non-degenerate")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (offline artifact "
@@ -68,12 +73,22 @@ def main():
         rng = np.random.default_rng(args.seed)
         cam = CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=240.0,
                            width=640, height=480)
-        # several independent scenes for descriptor diversity
+        # many independent scenes x varied trajectories for descriptor
+        # diversity (the reference's pretrained ORBvoc is built from a
+        # large heterogeneous image corpus; this is the no-network
+        # equivalent: every scene is a fresh world, and the camera motion
+        # cycles through the trajectory families so viewpoint/scale
+        # variation enters the corpus too)
         per_scene = 8
         n_scenes = max(1, args.synthetic // per_scene)
+        modes = ("strafe", "loop", "forward", "rotation")
         for s in range(n_scenes):
-            field = CornerField(rng, n=600)
-            for R, t in make_trajectory(per_scene, "strafe"):
+            field = CornerField(
+                rng, n=int(rng.integers(400, 900)),
+                x=(-6.0, 6.0), y=(-3.5, 3.5),
+                z=(float(rng.uniform(2.5, 4.0)), float(rng.uniform(8.0, 12.0))))
+            traj = make_trajectory(per_scene * 4, modes[s % len(modes)])
+            for R, t in traj[:: 4]:
                 frames.append(render_frame(field, cam, R, t))
     else:
         print("pass --images DIR or --synthetic N", file=sys.stderr)
@@ -81,7 +96,8 @@ def main():
 
     ocfg = OrbConfig(n_features=args.n_features)
     voc = build_vocabulary_from_frames(
-        frames, ocfg, k=args.k, depth=args.depth, seed=args.seed
+        frames, ocfg, k=args.k, depth=args.depth, seed=args.seed,
+        max_descriptors=args.max_descriptors,
     )
     save_vocabulary(voc, args.out)
     print(f"trained (k={args.k}, L={args.depth}) vocabulary "

@@ -234,10 +234,12 @@ class TrackerConfig:
     bow_branching: int = 8
     bow_depth: int = 3
     # Path to a pretrained vocabulary artifact (save_vocabulary npz or
-    # DBoW2 ORBvoc .txt). The default "bundled" resolves to the corpus-
-    # trained artifact shipped with the package (data/orbvoc_synth_k10_L4
-    # .npz, 10k words — examples/train_vocabulary.py), falling back to
-    # one-frame training when absent. None forces one-frame training.
+    # DBoW2 ORBvoc .txt). The default "bundled" resolves to the best
+    # corpus-trained artifact shipped with the package (preferring
+    # data/orbvoc_synth_k10_L5.npz, 100k words — the held-out recall
+    # study winner, BASELINE.md round 4 — over the 10k L4 one), falling
+    # back to one-frame training when absent. None forces one-frame
+    # training.
     # When
     # set, the tracker loads it at map init instead of training from the
     # init frame — the reference's own workflow (a shipped ORBvoc loaded at

@@ -1103,11 +1103,19 @@ class Tracker:
             # way); fall back to one-frame training if it is absent
             import os as _os
 
-            path = _os.path.join(
+            data_dir = _os.path.join(
                 _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-                "data", "orbvoc_synth_k10_L4.npz")
-            if not _os.path.exists(path):
-                path = None
+                "data")
+            # prefer the 100k-word corpus artifact (it wins the held-out
+            # recall study, BASELINE.md round 4: recall@tau 0.625 vs
+            # 0.417), fall back to the 10k one, then to one-frame training
+            path = None
+            for name in ("orbvoc_synth_k10_L5.npz",
+                         "orbvoc_synth_k10_L4.npz"):
+                cand = _os.path.join(data_dir, name)
+                if _os.path.exists(cand):
+                    path = cand
+                    break
         if path is not None:
             # Pretrained-artifact path (the reference's workflow: ORBvoc
             # loaded at System construction, TemplatedVocabulary.h:229-265).
