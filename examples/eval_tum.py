@@ -57,6 +57,11 @@ def main():
                          "a long circuit needs more slots than the default")
     ap.add_argument("--max-points", type=int, default=None,
                     help="override TrackerConfig.max_map_points")
+    ap.add_argument("--score-type", default=None,
+                    choices=["fast", "harris"],
+                    help="override OrbConfig.score_type (the reference's "
+                         "ORBextractor scoreType enum) for sequence-level "
+                         "Harris-vs-FAST A/B runs")
     ap.add_argument("--device-loop", action="store_true",
                     help="after the host bootstrap reaches WORKING, run "
                          "the remaining frames through the one-scan "
@@ -113,6 +118,10 @@ def main():
     if args.no_bow and cfg.tracker.use_bow:
         cfg = dataclasses.replace(
             cfg, tracker=dataclasses.replace(cfg.tracker, use_bow=False))
+    if args.score_type and cfg.orb.score_type != args.score_type:
+        cfg = dataclasses.replace(
+            cfg, orb=dataclasses.replace(cfg.orb,
+                                         score_type=args.score_type))
     tk_over = {}
     if args.max_keyframes:
         tk_over["max_keyframes"] = args.max_keyframes

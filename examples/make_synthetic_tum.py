@@ -58,7 +58,7 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--mode", default="loop",
                     choices=["loop", "strafe", "forward", "circuit",
-                             "planar", "rotation"])
+                             "planar", "rotation", "lowtex"])
     ap.add_argument("--points", type=int, default=900)
     ap.add_argument("--noise", type=float, default=0.0,
                     help="per-frame gaussian sensor noise, gray levels. "
@@ -97,6 +97,20 @@ def main():
         # selects ReconstructH) — the sequence-level exercise of the
         # H path that unit tests alone don't give.
         field = CornerField(rng, pts=plane_points(rng, n=args.points))
+    elif args.mode == "lowtex":
+        # LOW-TEXTURE / HIGH-NOISE stress: a sparse world (an order of
+        # magnitude fewer textured patches than the other modes, so only
+        # a few dozen corners land in any one view) under strong sensor
+        # noise. Starves the FAST budget (the dual-threshold minTh
+        # fallback must fire, reference ORBextractor.cpp ComputeKeyPoints
+        # minThFAST retry), thins the matcher's mutual-best set, and
+        # degrades descriptor stability — the regime where real trackers
+        # drop to LOST.
+        n = min(args.points, 220)
+        field = CornerField(rng, n=n, x=(-5.0, 5.0),
+                            y=(-3.5, 3.5), z=(3.0, 10.0))
+        if args.noise == 0.0:
+            args.noise = 12.0
     else:
         # a deep, wide field so every loop pose sees plenty of texture;
         # the rotation sweep pans right, so extend the field that way
@@ -105,7 +119,8 @@ def main():
                             y=(-3.5, 3.5), z=(3.0, 10.0))
     # the planar world pairs with the strafe trajectory (translation
     # parallel to the wall maximizes the plane-induced homography)
-    traj_mode = "strafe" if args.mode == "planar" else args.mode
+    traj_mode = {"planar": "strafe", "lowtex": "loop"}.get(
+        args.mode, args.mode)
     poses = make_trajectory(args.frames, traj_mode)
 
     rgb_dir = os.path.join(args.out_dir, "rgb")

@@ -124,15 +124,26 @@ def bundle_adjust(
     (``Thirdparty/g2o/g2o/core/optimization_algorithm_levenberg.cpp:
     154-161``: stop once the relative chi2 decrease falls below a
     threshold) re-expressed for a jitted static-length scan: the scan
-    still runs ``iterations`` steps, but once an ACCEPTED step improves
-    the robust cost by less than ``early_stop_rel * cost`` (or the
-    damping has blown past 1e8 — LM is stuck), every remaining step is a
-    ``lax.cond`` no-op. On TPU a scalar-predicate cond executes only the
-    taken branch, so converged solves stop paying the dispatch-bound
-    iteration cost — the lever the keyframe-insert path needs (warm maps
-    converge in 2-4 iterations). Under ``jax.vmap`` the cond lowers to a
-    select (both branches run): correct, no savings. 0.0 = disabled,
-    bit-identical to the ungated program.
+    still runs ``iterations`` steps, but once the solve has converged,
+    every remaining step is a ``lax.cond`` no-op. Converged means any of
+    - an ACCEPTED step improved the robust cost by less than
+      ``early_stop_rel * cost``,
+    - three CONSECUTIVE steps were rejected (at the optimum LM proposals
+      stop improving the cost and get rejected, so an accepted-step gate
+      alone never fires there; this is g2o's own trials-after-failure
+      termination, ``optimization_algorithm_levenberg.cpp:51,149-151``
+      — ``maxTrialsAfterFailure``, default 10 — with a tighter budget:
+      three rejections mean the Nielsen damping has already grown ~100x
+      without finding a descent direction),
+    - the damping blew past 1e8 (stuck).
+    On TPU a scalar-predicate cond executes only the taken branch, so
+    converged solves stop paying the dispatch-bound iteration cost — the
+    lever the keyframe-insert path needs (warm maps converge in 2-4
+    iterations; measured round 4: the accepted-only gate left a
+    re-converged insert's BA at 47 ms of a 69 ms insert because the
+    final iterations were all rejections). Under ``jax.vmap`` the cond
+    lowers to a select (both branches run): correct, no savings.
+    0.0 = disabled, bit-identical to the ungated program.
     """
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     nK = kf_R.shape[0]
@@ -162,7 +173,7 @@ def bundle_adjust(
     obs_fidx = fidx[obs_kf]
 
     def lm_iter(carry):
-        R, t, X, lam, nu, cost, done = carry
+        R, t, X, lam, nu, cost, done, rejects = carry
         r, Jc, Jp, _ = _obs_residuals(R, t, X, obs_kf, obs_pt, obs_uv, fx, fy, cx, cy)
         chi2 = jnp.sum(r * r, axis=-1) * w_info
         w = huber_weight(chi2, _CHI2_MONO) * w_info  # [O]
@@ -246,15 +257,23 @@ def bundle_adjust(
         rho = (cost - new_cost) / jnp.maximum(jnp.abs(predc + predp), 1e-9)
         lam_new, nu_new = nielsen_update(lam, nu, rho)
         good = new_cost < cost
+        rejects = jnp.where(good, 0, rejects + 1)
         if early_stop_rel > 0.0:
-            converged = good & (
-                cost - new_cost <= early_stop_rel * jnp.abs(cost))
-            done = done | converged | (lam_new > 1e8)
+            # converged when the proposal moved the cost by less than the
+            # threshold IN EITHER DIRECTION: at the optimum LM proposals
+            # barely WORSEN the cost and get rejected, so an
+            # accepted-only gate never fires there (a rejected proposal
+            # far from the optimum worsens the cost by a lot — it does
+            # not trip this). The rejection streak is the backstop for
+            # oscillating large-delta rejections.
+            converged = jnp.abs(cost - new_cost) <= (
+                early_stop_rel * jnp.abs(cost))
+            done = done | converged | (rejects >= 5) | (lam_new > 1e8)
         R = jnp.where(good, R_new, R)
         t = jnp.where(good, t_new, t)
         X = jnp.where(good, X_new, X)
         cost = jnp.where(good, new_cost, cost)
-        return (R, t, X, lam_new, nu_new, cost, done)
+        return (R, t, X, lam_new, nu_new, cost, done, rejects)
 
     def step(carry, _):
         if early_stop_rel > 0.0:
@@ -264,10 +283,10 @@ def bundle_adjust(
         return carry, None
 
     cost0 = robust_cost(kf_R, kf_t, pts)
-    (R, t, X, _, _, cost, _), _ = jax.lax.scan(
+    (R, t, X, _, _, cost, _, _), _ = jax.lax.scan(
         step,
         (kf_R, kf_t, pts, jnp.float32(1e-4), jnp.float32(2.0), cost0,
-         jnp.asarray(False)),
+         jnp.asarray(False), jnp.int32(0)),
         None,
         length=iterations,
     )
