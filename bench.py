@@ -15,7 +15,13 @@ Metrics (BASELINE.json):
 
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N,
-   "extraction_frames_per_s": N, "extraction_vs_cpu": N}
+   "extraction_frames_per_s": N, "extraction_vs_cpu": N,
+   "sequence_fps_with_keyframes": N, ...}
+
+The sequence field is a best-effort third metric (leftover-budget-gated):
+end-to-end throughput INCLUDING the keyframe lifecycle, measured by
+scripts/tpu_seq_fps.py's children (device-side mapping loop as one
+jitted scan, slam/device_mapping.py).
 
 Wedge-resilient architecture (the round-2 official run died at TPU
 backend init, BENCH_r02.json): the top-level process imports NO jax.
@@ -282,14 +288,15 @@ class _Orchestrator:
     def _remaining(self, reserve=45.0):
         return self.deadline - time.time() - reserve
 
-    def _run_child(self, args, want, label):
-        """Run `python bench.py <args>` with a deadline-aware timeout;
-        True iff the child exited 0 within budget."""
+    def _run_child(self, args, want, label, script=None):
+        """Run `python bench.py <args>` (or `python <script> <args>`)
+        with a deadline-aware timeout; True iff the child exited 0
+        within budget."""
         budget = min(want, self._remaining())
         if budget < 60:
             self.errors.append(f"{label}: skipped (deadline)")
             return False
-        cmd = [sys.executable, os.path.abspath(__file__)] + args
+        cmd = [sys.executable, script or os.path.abspath(__file__)] + args
         print(f"[bench] {label}: {' '.join(args)} (timeout {budget:.0f}s)",
               file=sys.stderr, flush=True)
         try:
@@ -394,6 +401,12 @@ class _Orchestrator:
                 e = extract["frames_per_s"]
                 out["extraction_frames_per_s"] = e
                 out["extraction_vs_cpu"] = round(e / REF_EXTRACT_CPU_FPS, 3)
+            seq = self._read("seq")
+            if seq is not None and seq.get("value"):
+                out["sequence_fps_with_keyframes"] = seq["value"]
+                out["sequence_keyframes_in_window"] = seq.get(
+                    "keyframes_in_T2")
+                out["sequence_lost_frames"] = seq.get("lost_in_T2")
         elif extract is not None:
             e = extract["frames_per_s"]
             out = {
@@ -427,6 +440,9 @@ class _Orchestrator:
     # -- main flow -----------------------------------------------------------
     def run(self):
         self._warn_other_python()
+        if os.environ.get("ORB_BENCH_CPU") == "1":
+            # debug mode: the seq child honors its own env knob
+            os.environ["ORB_SEQ_CPU"] = "1"
         seed_path = os.path.join(self.outdir, "seed.npz")
         if not self._run_child(["--child", "seed", seed_path], 420,
                                "seed(cpu)"):
@@ -459,6 +475,25 @@ class _Orchestrator:
             self._run_child(
                 ["--child", "tpu", self.outdir, "--metrics", "extract",
                  "--seed", seed_path], 450, "tpu(extract retry)")
+
+        # best-effort THIRD metric: end-to-end sequence throughput WITH
+        # keyframe work (the honest number — tracking + the whole
+        # keyframe lifecycle as one jitted scan, scripts/tpu_seq_fps.py).
+        # Strictly leftover-budget-gated: only attempted once the primary
+        # metrics have landed, and a failure here cannot erase them.
+        seq_script = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "scripts", "tpu_seq_fps.py")
+        if (self._read("track") is not None
+                and self._read("seq") is None
+                and os.path.exists(seq_script)
+                and self._remaining() > 700 and self._relay_up()):
+            seq_seed = os.path.join(self.outdir, "seq_seed.npz")
+            seq_out = os.path.join(self.outdir, "seq.json")
+            if self._run_child(["--child", "seed", seq_seed], 420,
+                               "seq seed(cpu)", script=seq_script):
+                self._run_child(["--child", "tpu", seq_seed, seq_out],
+                                520, "tpu(seq fps)", script=seq_script)
 
         self._emit()
         return 0

@@ -191,6 +191,13 @@ def main():
         state = out.get("state", "?")
         if state == "LOST":
             n_lost += 1
+        if "used_h" in out:
+            print(f"[{i + 1}] two-view init attempt: model="
+                  f"{'H (homography)' if out['used_h'] else 'F (fundamental)'}"
+                  f" RH-scores H={out.get('score_h', 0):.0f}"
+                  f"/F={out.get('score_f', 0):.0f}"
+                  f" n_good={out.get('n_good', '?')}"
+                  f" -> {out.get('init', '?')}", flush=True)
         loop = out.get("loop")
         if out.get("loop_implicit_revisit"):
             print(f"[{i + 1}] implicit revisit: tracking reconnected to old "

@@ -145,16 +145,25 @@ def make_trajectory(n_frames: int, mode: str = "strafe") -> List[Tuple[np.ndarra
             cwx, cwy, cwz = -0.2 * s, 0.0, 1.5 * s
         elif mode == "rotation":
             # rotation-dominant, small-baseline sweep: ~24 deg of yaw
-            # against only ~0.3 m of sideways travel. Per-frame image
-            # motion is rotation-driven; monocular init must wait until
-            # the accumulated baseline clears the parallax gate (the
-            # reference rejects low-parallax pairs, CheckRT's
-            # parallax >= 1 deg gate) and the motion model must track
-            # through sustained rotation — the classic mono-SLAM stress
-            # axis.
-            yaw = np.radians(24.0 * s)
-            cwx = -0.3 * s
-            cwy = 0.04 * np.sin(2 * np.pi * s)
+            # against only ~0.3 m of sideways travel, after a short
+            # strafe prefix (first 15%) that provides the parallax the
+            # monocular bootstrap needs. Measured fact (round 4): with
+            # NO prefix the tracker never initializes — the parallax
+            # gate (the reference's CheckRT >= 1 deg rule,
+            # Initialization/Initializer.cpp) rejects every pair and
+            # the match-collapse re-seed resets the accumulated
+            # baseline before it clears the gate; that refusal is the
+            # correct mono-SLAM behavior and is recorded in BASELINE.md.
+            # The prefix turns the mode into the *tracking* stress: the
+            # motion model and keyframe lifecycle must survive a
+            # sustained rotation sweep at ~0.1 deg/frame yaw with almost
+            # no translation — the classic mono-SLAM failure axis.
+            p = 0.15
+            sp = min(s, p) / p          # strafe phase progress [0,1]
+            sr = max(s - p, 0.0) / (1 - p)  # rotation phase progress
+            yaw = np.radians(24.0 * sr)
+            cwx = -0.25 * sp - 0.3 * sr
+            cwy = 0.04 * np.sin(2 * np.pi * sr)
             cwz = 0.0
         elif mode == "loop":
             # closed circuit in the x-y plane, returning exactly to the
