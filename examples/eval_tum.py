@@ -57,6 +57,10 @@ def main():
                          "a long circuit needs more slots than the default")
     ap.add_argument("--max-points", type=int, default=None,
                     help="override TrackerConfig.max_map_points")
+    ap.add_argument("--ba-early-stop", type=float, default=None,
+                    help="override TrackerConfig.ba_early_stop_rel (the "
+                         "data-dependent BA convergence gate; 0 disables) "
+                         "for gate-on/off accuracy A/B runs")
     ap.add_argument("--score-type", default=None,
                     choices=["fast", "harris"],
                     help="override OrbConfig.score_type (the reference's "
@@ -127,6 +131,8 @@ def main():
         tk_over["max_keyframes"] = args.max_keyframes
     if args.max_points:
         tk_over["max_map_points"] = args.max_points
+    if args.ba_early_stop is not None:
+        tk_over["ba_early_stop_rel"] = args.ba_early_stop
     if tk_over:
         cfg = dataclasses.replace(
             cfg, tracker=dataclasses.replace(cfg.tracker, **tk_over))

@@ -21,6 +21,10 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# float32 matmul precision on TPU (the default truncates to bfloat16
+# - see optim/ba.py:_obs_residuals).
+_HI = jax.lax.Precision.HIGHEST
 import numpy as np
 
 __all__ = [
@@ -45,7 +49,7 @@ def _score_l2(q, db):
     dn = db / jnp.maximum(
         jnp.linalg.norm(db, axis=-1, keepdims=True), 1e-12
     )
-    dot = dn @ qn
+    dot = jnp.matmul(dn, qn, precision=_HI)
     return jnp.where(dot >= 1.0, 1.0, 1.0 - jnp.sqrt(jnp.maximum(1.0 - dot, 0.0)))
 
 
@@ -82,7 +86,7 @@ def _score_dot(q, db):
     # sum v*w (ScoringObject.cpp DotProductScoring; DBoW2 applies it to
     # unnormalized vectors — here vectors are stored L1-normalized, which
     # rescales scores but not rankings)
-    return db @ q
+    return jnp.matmul(db, q, precision=_HI)
 
 
 SCORINGS = {

@@ -16,6 +16,11 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+from jax import lax as _lax
+
+# float32 matmul precision on TPU for geometry solves (the default
+# truncates to bfloat16 - see optim/ba.py:_obs_residuals).
+_HI = _lax.Precision.HIGHEST
 
 __all__ = ["normalize_points", "solve_h_dlt", "decompose_homography"]
 
@@ -81,13 +86,13 @@ def solve_h_dlt(x1: jnp.ndarray, x2: jnp.ndarray, w=None) -> jnp.ndarray:
     if w is not None:
         ww = jnp.concatenate([w, w], axis=-1)[..., None]
         A = A * ww
-    AtA = jnp.einsum("...ij,...ik->...jk", A, A)
+    AtA = jnp.einsum("...ij,...ik->...jk", A, A, precision=_HI)
     _, vecs = jnp.linalg.eigh(AtA)
     h = vecs[..., :, 0]
     Hn = h.reshape(h.shape[:-1] + (3, 3))
     # denormalize: H = T2^-1 Hn T1
     T2inv = jnp.linalg.inv(T2)
-    return T2inv @ Hn @ T1
+    return jnp.matmul(jnp.matmul(T2inv, Hn, precision=_HI), T1, precision=_HI)
 
 
 def decompose_homography(H: jnp.ndarray, K: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -99,7 +104,7 @@ def decompose_homography(H: jnp.ndarray, K: jnp.ndarray) -> Tuple[jnp.ndarray, j
     invalid rather than producing NaNs.
     """
     Kinv = jnp.linalg.inv(K)
-    A = Kinv @ H @ K
+    A = jnp.matmul(jnp.matmul(Kinv, H, precision=_HI), K, precision=_HI)
     U, S, Vt = jnp.linalg.svd(A)
     d1, d2, d3 = S[0], S[1], S[2]
     s = jnp.linalg.det(U) * jnp.linalg.det(Vt)
@@ -144,8 +149,8 @@ def decompose_homography(H: jnp.ndarray, K: jnp.ndarray) -> Tuple[jnp.ndarray, j
                 axis=-2,
             )
             tp = (d1 + d3) * jnp.stack([e1 * x1, zero, e3 * x3], axis=-1)
-        R = s * (U[None] @ Rp @ Vt[None])
-        t = jnp.einsum("ij,nj->ni", U, tp)
+        R = s * jnp.matmul(jnp.matmul(U[None], Rp, precision=_HI), Vt[None], precision=_HI)
+        t = jnp.einsum("ij,nj->ni", U, tp, precision=_HI)
         t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + _EPS)
         return R, t
 

@@ -30,6 +30,10 @@ import jax.numpy as jnp
 from .sampling import sample_distinct
 from .se3 import hat, so3_exp, so3_log
 
+# float32 matmul precision on TPU for Sim(3)/pose algebra (the default
+# truncates to bfloat16 - see optim/ba.py:_obs_residuals).
+_HI = jax.lax.Precision.HIGHEST
+
 __all__ = [
     "Sim3", "sim3_exp", "sim3_log", "sim3_apply", "sim3_inverse",
     "sim3_compose", "solve_sim3_horn", "ransac_sim3", "optimize_sim3",
@@ -47,22 +51,22 @@ class Sim3(NamedTuple):
 def sim3_apply(g: Sim3, X: jnp.ndarray) -> jnp.ndarray:
     """X [..., N, 3] -> s R X + t."""
     return g.s[..., None, None] * jnp.einsum(
-        "...ij,...nj->...ni", g.R, X
+        "...ij,...nj->...ni", g.R, X, precision=_HI
     ) + g.t[..., None, :]
 
 
 def sim3_inverse(g: Sim3) -> Sim3:
     si = 1.0 / g.s
     Rt = jnp.swapaxes(g.R, -1, -2)
-    return Sim3(s=si, R=Rt, t=-si[..., None] * jnp.einsum("...ij,...j->...i", Rt, g.t))
+    return Sim3(s=si, R=Rt, t=-si[..., None] * jnp.einsum("...ij,...j->...i", Rt, g.t, precision=_HI))
 
 
 def sim3_compose(a: Sim3, b: Sim3) -> Sim3:
     """a o b (apply b first)."""
     return Sim3(
         s=a.s * b.s,
-        R=a.R @ b.R,
-        t=a.s[..., None] * jnp.einsum("...ij,...j->...i", a.R, b.t) + a.t,
+        R=jnp.matmul(a.R, b.R, precision=_HI),
+        t=a.s[..., None] * jnp.einsum("...ij,...j->...i", a.R, b.t, precision=_HI) + a.t,
     )
 
 
@@ -114,7 +118,7 @@ def _w_matrix(phi: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
     return (
         C[..., None, None] * jnp.eye(3, dtype=phi.dtype)
         + a1[..., None, None] * Phi
-        + a2[..., None, None] * (Phi @ Phi)
+        + a2[..., None, None] * jnp.matmul(Phi, Phi, precision=_HI)
     )
 
 
@@ -128,7 +132,7 @@ def sim3_exp(xi: jnp.ndarray) -> Sim3:
     return Sim3(
         s=jnp.exp(sigma),
         R=so3_exp(phi),
-        t=jnp.einsum("...ij,...j->...i", W, rho),
+        t=jnp.einsum("...ij,...j->...i", W, rho, precision=_HI),
     )
 
 
@@ -151,19 +155,19 @@ def solve_sim3_horn(x1: jnp.ndarray, x2: jnp.ndarray,
     if w is None:
         w = jnp.ones(x1.shape[:-1], x1.dtype)
     wn = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), _EPS)
-    mu1 = jnp.einsum("...n,...ni->...i", wn, x1)
-    mu2 = jnp.einsum("...n,...ni->...i", wn, x2)
+    mu1 = jnp.einsum("...n,...ni->...i", wn, x1, precision=_HI)
+    mu2 = jnp.einsum("...n,...ni->...i", wn, x2, precision=_HI)
     c1 = x1 - mu1[..., None, :]
     c2 = x2 - mu2[..., None, :]
-    Sigma = jnp.einsum("...n,...ni,...nj->...ij", wn, c1, c2)
+    Sigma = jnp.einsum("...n,...ni,...nj->...ij", wn, c1, c2, precision=_HI)
     U, D, Vt = jnp.linalg.svd(Sigma)
     det = jnp.linalg.det(U) * jnp.linalg.det(Vt)
     S = jnp.ones(D.shape[:-1] + (3,), x1.dtype)
     S = S.at[..., 2].set(jnp.where(det < 0, -1.0, 1.0))
-    R = U @ (S[..., :, None] * Vt)
-    var2 = jnp.einsum("...n,...ni->...", wn, c2 * c2)
+    R = jnp.matmul(U, S[..., :, None] * Vt, precision=_HI)
+    var2 = jnp.einsum("...n,...ni->...", wn, c2 * c2, precision=_HI)
     s = jnp.sum(D * S, axis=-1) / jnp.maximum(var2, _EPS)
-    t = mu1 - s[..., None] * jnp.einsum("...ij,...j->...i", R, mu2)
+    t = mu1 - s[..., None] * jnp.einsum("...ij,...j->...i", R, mu2, precision=_HI)
     return Sim3(s=s, R=R, t=t)
 
 
@@ -259,7 +263,7 @@ def optimize_sim3(
             -hat(p1),
             p1[..., :, None],
         ], axis=-1)  # [N, 3, 7]
-        J1 = Jp1 @ Jpc1
+        J1 = jnp.matmul(Jp1, Jpc1, precision=_HI)
         # inverse: x1 through g^-1 into image 2. With the left increment
         # g' = exp(xi) o g, p2' = g^-1(exp(xi)^-1 x1) and for small xi
         # exp(xi)^-1 x1 ~ x1 - (rho + hat(phi) x1 + sigma x1), so with
@@ -273,10 +277,10 @@ def optimize_sim3(
         r2 = uvh2 - uv2
         M = gi.s * gi.R                                # (1/s) R^T, [3, 3]
         d_rho = jnp.broadcast_to(-M, p2.shape[:-1] + (3, 3))
-        d_phi = jnp.einsum("ij,njk->nik", M, hat(x1))
-        d_sig = -jnp.einsum("ij,nj->ni", M, x1)[..., :, None]
+        d_phi = jnp.einsum("ij,njk->nik", M, hat(x1), precision=_HI)
+        d_sig = -jnp.einsum("ij,nj->ni", M, x1, precision=_HI)[..., :, None]
         Jpc2 = jnp.concatenate([d_rho, d_phi, d_sig], axis=-1)  # [N, 3, 7]
-        J2 = Jp2 @ Jpc2
+        J2 = jnp.matmul(Jp2, Jpc2, precision=_HI)
         return r1, J1, r2, J2
 
     def chi2_dir(g):
@@ -303,12 +307,12 @@ def optimize_sim3(
         w2 = jnp.where(c2 <= huber_chi2, 1.0,
                        jnp.sqrt(huber_chi2 / jnp.maximum(c2, _EPS))) * wv
         H = (
-            jnp.einsum("nri,n,nrj->ij", J1, w1, J1)
-            + jnp.einsum("nri,n,nrj->ij", J2, w2, J2)
+            jnp.einsum("nri,n,nrj->ij", J1, w1, J1, precision=_HI)
+            + jnp.einsum("nri,n,nrj->ij", J2, w2, J2, precision=_HI)
         )
         b = (
-            jnp.einsum("nri,n,nr->i", J1, w1, r1)
-            + jnp.einsum("nri,n,nr->i", J2, w2, r2)
+            jnp.einsum("nri,n,nr->i", J1, w1, r1, precision=_HI)
+            + jnp.einsum("nri,n,nr->i", J2, w2, r2, precision=_HI)
         )
         if fix_scale:
             H = H.at[6, :].set(0.0).at[:, 6].set(0.0).at[6, 6].set(1.0)

@@ -10,6 +10,11 @@ get the null vector; it avoids batched SVD of non-square matrices).
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax as _lax
+
+# float32 matmul precision on TPU for geometry solves (the default
+# truncates to bfloat16 - see optim/ba.py:_obs_residuals).
+_HI = _lax.Precision.HIGHEST
 
 __all__ = ["triangulate_dlt"]
 
@@ -28,7 +33,7 @@ def triangulate_dlt(P1: jnp.ndarray, P2: jnp.ndarray, x1: jnp.ndarray, x2: jnp.n
     r3 = x2[..., :, 1:2] * P2[..., None, 2, :] - P2[..., None, 1, :]
     A = jnp.stack([r0, r1, r2, r3], axis=-2)  # [..., N, 4, 4]
     # null vector of A = eigenvector of smallest eigenvalue of A^T A
-    AtA = jnp.einsum("...ij,...ik->...jk", A, A)
+    AtA = jnp.einsum("...ij,...ik->...jk", A, A, precision=_HI)
     _, vecs = jnp.linalg.eigh(AtA)  # ascending eigenvalues
     X = vecs[..., :, 0]  # [..., N, 4]
     w = X[..., 3:4]

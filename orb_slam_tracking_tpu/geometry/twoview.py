@@ -31,6 +31,10 @@ from .homography import decompose_homography, solve_h_dlt
 from .sampling import sample_distinct
 from .triangulate import triangulate_dlt
 
+# float32 matmul precision for small geometry ops on TPU (the
+# default truncates to bfloat16 — see optim/ba.py:_obs_residuals).
+_HI = jax.lax.Precision.HIGHEST
+
 __all__ = ["TwoViewResult", "initialize_two_view", "score_homography", "score_fundamental"]
 
 _COS_PARALLAX_MAX = 0.99998  # Initializer.cpp:664-670
@@ -64,11 +68,11 @@ def score_homography(H21, x1, x2, valid, sigma):
     p1 = _to_h(x1)
     p2 = _to_h(x2)
     # view2 <- view1
-    q2 = jnp.einsum("...ij,mj->...mi", H21, p1)
+    q2 = jnp.einsum("...ij,mj->...mi", H21, p1, precision=_HI)
     q2 = q2[..., :2] / jnp.where(jnp.abs(q2[..., 2:]) < 1e-12, 1e-12, q2[..., 2:])
     chi2_2 = jnp.sum((x2 - q2) ** 2, axis=-1) * inv_sigma2
     # view1 <- view2
-    q1 = jnp.einsum("...ij,mj->...mi", H12, p2)
+    q1 = jnp.einsum("...ij,mj->...mi", H12, p2, precision=_HI)
     q1 = q1[..., :2] / jnp.where(jnp.abs(q1[..., 2:]) < 1e-12, 1e-12, q1[..., 2:])
     chi2_1 = jnp.sum((x1 - q1) ** 2, axis=-1) * inv_sigma2
 
@@ -92,13 +96,13 @@ def score_fundamental(F21, x1, x2, valid, sigma):
     p1 = _to_h(x1)
     p2 = _to_h(x2)
     # epipolar line in view 2 of x1: l2 = F21 p1
-    l2 = jnp.einsum("...ij,mj->...mi", F21, p1)
-    num2 = jnp.einsum("mi,...mi->...m", p2, l2)
+    l2 = jnp.einsum("...ij,mj->...mi", F21, p1, precision=_HI)
+    num2 = jnp.einsum("mi,...mi->...m", p2, l2, precision=_HI)
     den2 = l2[..., 0] ** 2 + l2[..., 1] ** 2
     chi2_2 = (num2 * num2) / jnp.maximum(den2, 1e-12) * inv_sigma2
     # epipolar line in view 1 of x2: l1 = F21^T p2
-    l1 = jnp.einsum("...ji,mj->...mi", F21, p2)
-    num1 = jnp.einsum("mi,...mi->...m", p1, l1)
+    l1 = jnp.einsum("...ji,mj->...mi", F21, p2, precision=_HI)
+    num1 = jnp.einsum("mi,...mi->...m", p1, l1, precision=_HI)
     den1 = l1[..., 0] ** 2 + l1[..., 1] ** 2
     chi2_1 = (num1 * num1) / jnp.maximum(den1, 1e-12) * inv_sigma2
 
@@ -128,9 +132,9 @@ def _check_rt(R, t, x1, x2, valid, K, sigma2):
     C = R.shape[0]
     M = x1.shape[0]
     eye34 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
-    P1 = (K @ eye34)[None]  # [1, 3, 4]
+    P1 = jnp.matmul(K, eye34, precision=_HI)[None]  # [1, 3, 4]
     Rt = jnp.concatenate([R, t[..., None]], axis=-1)  # [C, 3, 4]
-    P2 = jnp.einsum("ij,cjk->cik", K, Rt)
+    P2 = jnp.einsum("ij,cjk->cik", K, Rt, precision=_HI)
 
     x1b = jnp.broadcast_to(x1[None], (C, M, 2))
     x2b = jnp.broadcast_to(x2[None], (C, M, 2))
@@ -138,14 +142,14 @@ def _check_rt(R, t, x1, x2, valid, K, sigma2):
 
     finite = jnp.all(jnp.isfinite(pts), axis=-1)
     # parallax between the two viewing rays
-    O2 = -jnp.einsum("cji,cj->ci", R, t)  # camera-2 centre in frame-1 coords
+    O2 = -jnp.einsum("cji,cj->ci", R, t, precision=_HI)  # camera-2 centre in frame-1 coords
     n1 = pts
     n2 = pts - O2[:, None, :]
     cos_par = jnp.sum(n1 * n2, axis=-1) / jnp.maximum(
         jnp.linalg.norm(n1, axis=-1) * jnp.linalg.norm(n2, axis=-1), 1e-12
     )
     z1 = pts[..., 2]
-    p2c = jnp.einsum("cij,cmj->cmi", R, pts) + t[:, None, :]
+    p2c = jnp.einsum("cij,cmj->cmi", R, pts, precision=_HI) + t[:, None, :]
     z2 = p2c[..., 2]
     low_par = cos_par < _COS_PARALLAX_MAX
     # reject negative depth unless the point is at near-infinite parallax
@@ -252,8 +256,8 @@ def initialize_two_view(
     # coincide when x1 or x3 ~ 0, and a duplicate must not masquerade as a
     # competing interpretation in the ambiguity gate below. Keep the first
     # of each duplicate group.
-    rel_trace = jnp.einsum("cij,dij->cd", Rc, Rc)       # tr(Rc^T Rd)
-    t_dot = jnp.einsum("ci,di->cd", tc, tc)
+    rel_trace = jnp.einsum("cij,dij->cd", Rc, Rc, precision=_HI)       # tr(Rc^T Rd)
+    t_dot = jnp.einsum("ci,di->cd", tc, tc, precision=_HI)
     same = (rel_trace > 3.0 - 1e-4) & (t_dot > 1.0 - 1e-4)
     idx_c = jnp.arange(Rc.shape[0])
     earlier = idx_c[None, :] < idx_c[:, None]

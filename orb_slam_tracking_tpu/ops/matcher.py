@@ -30,6 +30,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+# float32 matmul precision on TPU (the default truncates to bfloat16
+# - see optim/ba.py:_obs_residuals).
+_HI = jax.lax.Precision.HIGHEST
+
 from ..config import MatcherConfig
 from .hamming import hamming_matrix
 
@@ -187,7 +191,7 @@ def search_for_triangulation(
 
     ones1 = jnp.ones_like(xy1[:, :1])
     p1 = jnp.concatenate([xy1, ones1], axis=-1)              # [N1, 3]
-    l2 = p1 @ F21.T                                          # [N1, 3]
+    l2 = jnp.matmul(p1, F21.T, precision=_HI)  # [N1, 3]
     num = l2[:, 0:1] * xy2[None, :, 0] + l2[:, 1:2] * xy2[None, :, 1] + l2[:, 2:3]
     den = jnp.maximum(l2[:, 0:1] ** 2 + l2[:, 1:2] ** 2, 1e-12)
     dsq = (num * num) / den                                  # [N1, N2]

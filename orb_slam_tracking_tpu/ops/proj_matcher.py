@@ -18,6 +18,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+# float32 matmul precision on TPU (the default truncates to bfloat16
+# - see optim/ba.py:_obs_residuals).
+_HI = jax.lax.Precision.HIGHEST
+
 from ..config import MatcherConfig
 from .hamming import hamming_matrix
 
@@ -80,7 +84,7 @@ def search_by_projection(
     """
     P = map_pts.shape[0]
     N = kp_desc.shape[0]
-    pc = map_pts @ R.T + t
+    pc = jnp.matmul(map_pts, R.T, precision=_HI) + t
     z = pc[..., 2]
     zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     u = K[0, 0] * pc[..., 0] * zi + K[0, 2]
@@ -95,7 +99,7 @@ def search_by_projection(
     r_pt = None
     if pt_normal is not None:
         # camera centre in world coords; viewing ray per point
-        C = -R.T @ t
+        C = -jnp.matmul(R.T, t, precision=_HI)
         view = map_pts - C[None, :]
         dist = jnp.linalg.norm(view, axis=-1)
         has = pt_dmax > 0

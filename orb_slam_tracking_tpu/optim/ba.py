@@ -49,6 +49,8 @@ from .lm import huber_weight, inv3x3, nielsen_update
 __all__ = ["BAResult", "bundle_adjust", "inv3x3"]
 
 _CHI2_MONO = 5.991
+_HI = jax.lax.Precision.HIGHEST
+_HEAVY = jax.lax.Precision.HIGHEST  # HIGH (3-pass) A/B: +3.8% speed, cost +1.1% off optimum - not taken
 
 
 class BAResult(NamedTuple):
@@ -66,7 +68,17 @@ def _obs_residuals(kf_R, kf_t, pts, obs_kf, obs_pt, obs_uv, fx, fy, cx, cy):
     Ro = kf_R[obs_kf]            # [O, 3, 3]
     to = kf_t[obs_kf]            # [O, 3]
     Xo = pts[obs_pt]             # [O, 3]
-    pc = jnp.einsum("oij,oj->oi", Ro, Xo) + to
+    # Residual path MUST run at float32 matmul precision: on TPU the
+    # default truncates to bfloat16, whose ~0.4% relative error on the
+    # point transform puts a ~1 px floor under sub-pixel residuals.
+    # Measured round 4 (scripts/ba_bench.py on chip): default precision
+    # converged to 90,816 robust chi2 on the 64-KF problem where the
+    # identical program on CPU (and the vendored g2o) reaches 20,477;
+    # pinning the residual/update path recovers the correct optimum
+    # while the heavy Hessian/Schur einsums stay at MXU-native default
+    # (LM tolerates an approximate Hessian; it cannot tolerate a wrong
+    # gradient/residual).
+    pc = jnp.einsum("oij,oj->oi", Ro, Xo, precision=_HI) + to
     x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
     zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     u = fx * x * zi + cx
@@ -85,8 +97,8 @@ def _obs_residuals(kf_R, kf_t, pts, obs_kf, obs_pt, obs_uv, fx, fy, cx, cy):
         [-se3.hat(pc), jnp.broadcast_to(jnp.eye(3), pc.shape[:-1] + (3, 3))],
         axis=-1,
     )  # [O, 3, 6]
-    Jc = J_proj @ J_pc_cam       # [O, 2, 6]
-    Jp = J_proj @ Ro             # [O, 2, 3] d(pc)/d(X) = R
+    Jc = jnp.matmul(J_proj, J_pc_cam, precision=_HI)  # [O, 2, 6]
+    Jp = jnp.matmul(J_proj, Ro, precision=_HI)  # [O, 2, 3] d(pc)/d(X) = R
     return r, Jc, Jp, z
 
 
@@ -180,16 +192,16 @@ def bundle_adjust(
 
         # blocks
         U = jnp.zeros((nK, 6, 6)).at[obs_kf].add(
-            jnp.einsum("ori,o,orj->oij", Jc, w, Jc)
+            jnp.einsum("ori,o,orj->oij", Jc, w, Jc, precision=_HI)
         )
         V = jnp.zeros((nP, 3, 3)).at[obs_pt].add(
-            jnp.einsum("ori,o,orj->oij", Jp, w, Jp)
+            jnp.einsum("ori,o,orj->oij", Jp, w, Jp, precision=_HI)
         )
-        g_c = jnp.zeros((nK, 6)).at[obs_kf].add(jnp.einsum("ori,o,or->oi", Jc, w, r))
-        g_p = jnp.zeros((nP, 3)).at[obs_pt].add(jnp.einsum("ori,o,or->oi", Jp, w, r))
+        g_c = jnp.zeros((nK, 6)).at[obs_kf].add(jnp.einsum("ori,o,or->oi", Jc, w, r, precision=_HI))
+        g_p = jnp.zeros((nP, 3)).at[obs_pt].add(jnp.einsum("ori,o,or->oi", Jp, w, r, precision=_HI))
         # coupling over the compact free-camera axis (+1 dump slot)
         Wb = jnp.zeros((nP, nF + 1, 6, 3)).at[obs_pt, obs_fidx].add(
-            jnp.einsum("ori,o,orj->oij", Jc, w, Jp)
+            jnp.einsum("ori,o,orj->oij", Jc, w, Jp, precision=_HI)
         )[:, :nF]
 
         # damping (multiplicative on block diagonals, g2o setLambda style)
@@ -207,12 +219,12 @@ def bundle_adjust(
             jnp.where(in_window[:, None], g_c, 0.0)
         )[:nF]
 
-        Y = jnp.einsum("pkil,plm->pkim", Wb, Vinv)  # [P, nF, 6, 3]
+        Y = jnp.einsum("pkil,plm->pkim", Wb, Vinv, precision=_HEAVY)  # [P, nF, 6, 3]
         S = jnp.zeros((nF, 6, nF, 6)).at[
             jnp.arange(nF), :, jnp.arange(nF), :
         ].add(Ud_free)
-        S = S - jnp.einsum("pkil,pmjl->kimj", Y, Wb)
-        rhs = -g_c_free + jnp.einsum("pkil,pl->ki", Y, g_p)  # [nF, 6]
+        S = S - jnp.einsum("pkil,pmjl->kimj", Y, Wb, precision=_HEAVY)
+        rhs = -g_c_free + jnp.einsum("pkil,pl->ki", Y, g_p, precision=_HEAVY)  # [nF, 6]
 
         # empty compact slots (fewer free cams than nF): identity diagonal
         occupied = jnp.arange(nF) < jnp.sum(in_window.astype(jnp.int32))
@@ -237,13 +249,14 @@ def bundle_adjust(
         # back-substitute points
         dxp = jnp.einsum(
             "pij,pj->pi", Vinv,
-            -(g_p + jnp.einsum("pkil,ki->pl", Wb, dxc_free)),
+            -(g_p + jnp.einsum("pkil,ki->pl", Wb, dxc_free, precision=_HEAVY)),
+            precision=_HEAVY,
         )
         dxp = jnp.where(pt_valid[:, None], dxp, 0.0)
 
         dR, dt = se3.se3_exp(dxc)
-        R_new = dR @ R
-        t_new = jnp.einsum("kij,kj->ki", dR, t) + dt
+        R_new = jnp.matmul(dR, R, precision=_HI)
+        t_new = jnp.einsum("kij,kj->ki", dR, t, precision=_HI) + dt
         X_new = X + dxp
 
         new_cost = robust_cost(R_new, t_new, X_new)
@@ -259,16 +272,24 @@ def bundle_adjust(
         good = new_cost < cost
         rejects = jnp.where(good, 0, rejects + 1)
         if early_stop_rel > 0.0:
-            # converged when the proposal moved the cost by less than the
-            # threshold IN EITHER DIRECTION: at the optimum LM proposals
-            # barely WORSEN the cost and get rejected, so an
-            # accepted-only gate never fires there (a rejected proposal
-            # far from the optimum worsens the cost by a lot — it does
-            # not trip this). The rejection streak is the backstop for
-            # oscillating large-delta rejections.
-            converged = jnp.abs(cost - new_cost) <= (
-                early_stop_rel * jnp.abs(cost))
-            done = done | converged | (rejects >= 5) | (lam_new > 1e8)
+            # converged = an ACCEPTED step improved the cost by less than
+            # the threshold. The tiny-delta test must NOT fire on rejected
+            # steps: after a mid-optimization rejection the Nielsen damping
+            # spikes and the next (damped) proposal moves the cost by ~1e-7
+            # relative even though real descent remains — an
+            # either-direction gate stops there and leaves the solve
+            # unconverged (measured round 4: clean-loop device-mapping ATE
+            # 2.11 cm with the either-direction gate vs 0.99 cm without,
+            # at BOTH rel=1e-4 and 1e-5 — threshold-independent, which is
+            # the fingerprint of firing on damped rejected steps).
+            # Rejected-at-optimum terminates via the rejection streak
+            # instead (g2o's trials-after-failure,
+            # optimization_algorithm_levenberg.cpp:51,149-151): three
+            # consecutive rejections mean the damping grew ~64x without
+            # finding a descent direction.
+            converged = good & (
+                (cost - new_cost) <= early_stop_rel * jnp.abs(cost))
+            done = done | converged | (rejects >= 3) | (lam_new > 1e8)
         R = jnp.where(good, R_new, R)
         t = jnp.where(good, t_new, t)
         X = jnp.where(good, X_new, X)

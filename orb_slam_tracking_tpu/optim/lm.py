@@ -10,7 +10,12 @@ inside ``lax`` loops.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# Small-matrix solves must not run at TPU-default (bfloat16) matmul
+# precision — see the round-4 note in optim/ba.py:_obs_residuals.
+_HI = jax.lax.Precision.HIGHEST
 
 __all__ = [
     "huber_weight",
@@ -103,13 +108,13 @@ def solve_spd6(M: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     b1 = b[..., :3]
     b2 = b[..., 3:]
     Ainv = inv3x3(A)
-    AinvB = Ainv @ Bm                                    # [.., 3, 3]
-    S = D - jnp.swapaxes(Bm, -1, -2) @ AinvB
+    AinvB = jnp.matmul(Ainv, Bm, precision=_HI)          # [.., 3, 3]
+    S = D - jnp.matmul(jnp.swapaxes(Bm, -1, -2), AinvB, precision=_HI)
     Sinv = inv3x3(S)
-    Ainv_b1 = jnp.einsum("...ij,...j->...i", Ainv, b1)
-    rhs2 = b2 - jnp.einsum("...ji,...j->...i", Bm, Ainv_b1)
-    x2 = jnp.einsum("...ij,...j->...i", Sinv, rhs2)
-    x1 = Ainv_b1 - jnp.einsum("...ij,...j->...i", AinvB, x2)
+    Ainv_b1 = jnp.einsum("...ij,...j->...i", Ainv, b1, precision=_HI)
+    rhs2 = b2 - jnp.einsum("...ji,...j->...i", Bm, Ainv_b1, precision=_HI)
+    x2 = jnp.einsum("...ij,...j->...i", Sinv, rhs2, precision=_HI)
+    x1 = Ainv_b1 - jnp.einsum("...ij,...j->...i", AinvB, x2, precision=_HI)
     return jnp.concatenate([x1, x2], axis=-1)
 
 

@@ -37,6 +37,10 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+# float32 matmul precision on TPU (the default truncates to bfloat16
+# - see optim/ba.py:_obs_residuals).
+_HI = jax.lax.Precision.HIGHEST
+
 from ..geometry.sim3 import (
     Sim3, sim3_compose, sim3_exp, sim3_inverse, sim3_log,
 )
@@ -115,8 +119,8 @@ def optimize_pose_graph(
         r = weighted_resid_flat(zero_x, base)                     # [7E]
         J = jax.jacfwd(weighted_resid_flat)(zero_x, base)         # [7E, 7K]
         J = J * col_free[None, :]                                 # gauge fix
-        H = J.T @ J
-        b = J.T @ r
+        H = jnp.matmul(J.T, J, precision=_HI)
+        b = jnp.matmul(J.T, r, precision=_HI)
         # pin frozen columns so H stays SPD and their increment is 0; the
         # small absolute floor keeps the Cholesky finite even if a free
         # coordinate has exactly zero curvature (degenerate edge Jacobian),

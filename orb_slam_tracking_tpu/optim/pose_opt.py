@@ -30,6 +30,10 @@ import jax.numpy as jnp
 from .lm import huber_weight, nielsen_update, solve_damped
 from ..geometry import se3
 
+# float32 matmul precision for small geometry ops on TPU (the
+# default truncates to bfloat16 — see optim/ba.py:_obs_residuals).
+_HI = jax.lax.Precision.HIGHEST
+
 __all__ = ["PoseOptResult", "optimize_pose"]
 
 _CHI2_TH = 5.991  # 95% for 2 dof
@@ -46,7 +50,7 @@ class PoseOptResult(NamedTuple):
 def _residuals_jac(R, t, pts, uv, fx, fy, cx, cy):
     """Reprojection residuals [N, 2] and Jacobians [N, 2, 6] w.r.t. a
     left-multiplied increment xi = (omega, v): T <- exp(xi) T."""
-    pc = pts @ R.T + t                       # [N, 3] camera-frame points
+    pc = jnp.matmul(pts, R.T, precision=_HI) + t  # [N, 3] camera-frame pts
     x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
     zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     u = fx * x * zi + cx
@@ -66,7 +70,7 @@ def _residuals_jac(R, t, pts, uv, fx, fy, cx, cy):
     J_pc = jnp.concatenate(
         [-se3.hat(pc), jnp.broadcast_to(jnp.eye(3), pc.shape[:-1] + (3, 3))], axis=-1
     )
-    J = J_proj @ J_pc                        # [N, 2, 6]
+    J = jnp.matmul(J_proj, J_pc, precision=_HI)  # [N, 2, 6]
     return r, J, z
 
 
@@ -109,12 +113,12 @@ def _lm_rounds(R, t, r0, J0, z0, pts, uv, inv_sigma2, active, fx, fy, cx, cy,
         chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
         w = huber_weight(chi2, delta2) if use_huber else jnp.ones_like(chi2)
         w = jnp.where(active, w * inv_sigma2, 0.0)
-        H = jnp.einsum("nri,n,nrj->ij", J, w, J)
-        b = jnp.einsum("nri,n,nr->i", J, w, r)
+        H = jnp.einsum("nri,n,nrj->ij", J, w, J, precision=_HI)
+        b = jnp.einsum("nri,n,nr->i", J, w, r, precision=_HI)
         dx = solve_damped(H, -b, lam, batched=batched_solve)
         dR, dt = se3.se3_exp(dx)
-        R_new = dR @ Rc
-        t_new = dR @ tc + dt
+        R_new = jnp.matmul(dR, Rc, precision=_HI)
+        t_new = jnp.matmul(dR, tc, precision=_HI) + dt
         r_new, J_new, z_new = _residuals_jac(R_new, t_new, pts, uv,
                                              fx, fy, cx, cy)
         new_cost = _robust_cost(r_new, inv_sigma2, active, use_huber, delta2)

@@ -53,6 +53,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+# float32 matmul precision on TPU (the default truncates to bfloat16
+# - see optim/ba.py:_obs_residuals).
+_HI = jax.lax.Precision.HIGHEST
+
 from ..config import CameraConfig, MatcherConfig, OrbConfig, TrackerConfig
 from ..ops.hamming import hamming_matrix
 from .fused_step import make_tracking_step
@@ -320,13 +324,13 @@ def make_device_insert_keyframe(cam_cfg: CameraConfig, orb_cfg: OrbConfig,
             has = m12 >= 0
             i2 = jnp.clip(m12, 0)
             x2 = m.kf_kp_xy[slot][i2]
-            P1 = K @ jnp.concatenate([Rn, tn[:, None]], axis=1)
-            P2 = K @ jnp.concatenate([R_cur, t_cur[:, None]], axis=1)
+            P1 = jnp.matmul(K, jnp.concatenate([Rn, tn[:, None]], axis=1), precision=_HI)
+            P2 = jnp.matmul(K, jnp.concatenate([R_cur, t_cur[:, None]], axis=1), precision=_HI)
             pts = triangulate_dlt(P1[None], P2[None], nbxy[None],
                                   x2[None])[0]
 
             def chi2(Rv, tv, uv):
-                pc = pts @ Rv.T + tv
+                pc = jnp.matmul(pts, Rv.T, precision=_HI) + tv
                 z = pc[:, 2]
                 zi = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
                 u = K[0, 0] * pc[:, 0] / zi + K[0, 2]
@@ -338,8 +342,8 @@ def make_device_insert_keyframe(cam_cfg: CameraConfig, orb_cfg: OrbConfig,
             s2_1 = scale ** (2.0 * nboct.astype(jnp.float32))
             s2_2 = scale ** (
                 2.0 * m.kf_kp_octave[slot][i2].astype(jnp.float32))
-            o1 = -Rn.T @ tn
-            o2 = -R_cur.T @ t_cur
+            o1 = -jnp.matmul(Rn.T, tn, precision=_HI)
+            o2 = -jnp.matmul(R_cur.T, t_cur, precision=_HI)
             r1 = pts - o1
             r2 = pts - o2
             cosp = jnp.sum(r1 * r2, -1) / jnp.maximum(
@@ -369,7 +373,7 @@ def make_device_insert_keyframe(cam_cfg: CameraConfig, orb_cfg: OrbConfig,
             okb = vet_b[b] & ~consumed[i2s] & nb_ok[b]
 
             # fuse check against the CURRENT map (refreshed each b)
-            pc = m.pts @ R_cur.T + t_cur
+            pc = jnp.matmul(m.pts, R_cur.T, precision=_HI) + t_cur
             z = pc[:, 2]
             zi = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
             proj = jnp.stack([K[0, 0] * pc[:, 0] / zi + K[0, 2],
@@ -493,9 +497,9 @@ def make_device_sequence_loop(cam_cfg: CameraConfig, orb_cfg: OrbConfig,
             (m, R, t, vel_R, vel_t, have_vel, fsk, ref_inl, fid,
              kfc) = carry
             R_pred = jnp.where(have_vel & tcfg.use_motion_model,
-                               vel_R @ R, R)
+                               jnp.matmul(vel_R, R, precision=_HI), R)
             t_pred = jnp.where(have_vel & tcfg.use_motion_model,
-                               vel_R @ t + vel_t, t)
+                               jnp.matmul(vel_R, t, precision=_HI) + vel_t, t)
             r = step(image, m.pts, m.desc, m.pt_valid,
                      m.pt_normal, m.pt_dmin, m.pt_dmax,
                      R_pred, t_pred, R, t, K)
@@ -585,8 +589,8 @@ def make_device_sequence_loop(cam_cfg: CameraConfig, orb_cfg: OrbConfig,
             # velocity only from CONTINUOUS good frames; a recovered pose
             # jumped, so its velocity is stale (host parity: reloc clears
             # have_velocity)
-            vel_R_new = jnp.where(good0, r.R @ R.T, vel_R)
-            vel_t_new = jnp.where(good0, r.t - (r.R @ R.T) @ t, vel_t)
+            vel_R_new = jnp.where(good0, jnp.matmul(r.R, R.T, precision=_HI), vel_R)
+            vel_t_new = jnp.where(good0, r.t - jnp.matmul(jnp.matmul(r.R, R.T, precision=_HI), t, precision=_HI), vel_t)
             have_vel = jnp.where(recovered, False, good0 | have_vel)
             fsk = fsk + 1
 

@@ -38,6 +38,10 @@ from typing import List, Optional, Set, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# float32 matmul precision on TPU (the default truncates to bfloat16
+# - see optim/ba.py:_obs_residuals).
+_HI = jax.lax.Precision.HIGHEST
 import numpy as np
 
 from ..bow.database import KeyframeDatabase, query
@@ -86,9 +90,9 @@ def _grow_sim3_matches(g: Sim3, x1, v1, d1, uv1, o1, x2, v2, d2, uv2, o2,
         return (jnp.stack([fx * p[:, 0] / z + cx, fy * p[:, 1] / z + cy],
                           -1), p[:, 2] > 1e-6)
 
-    y2 = g.s * x2 @ g.R.T + g.t              # frame-2 points in frame 1
+    y2 = g.s * jnp.matmul(x2, g.R.T, precision=_HI) + g.t  # frame-2 points in frame 1
     gi = sim3_inverse(g)
-    y1 = gi.s * x1 @ gi.R.T + gi.t           # frame-1 points in frame 2
+    y1 = gi.s * jnp.matmul(x1, gi.R.T, precision=_HI) + gi.t  # frame-1 points in frame 2
     uv2_in_1, ok2 = proj(y2)
     uv1_in_2, ok1 = proj(y1)
 

@@ -33,6 +33,10 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# float32 matmul precision on TPU (the default truncates to bfloat16
+# - see optim/ba.py:_obs_residuals).
+_HI = jax.lax.Precision.HIGHEST
 import numpy as np
 
 from ..config import SystemConfig
@@ -198,8 +202,8 @@ def _triangulate_world(R1, t1, R2, t2, K, x1, x2):
     world-to-camera poses."""
     from ..geometry.triangulate import triangulate_dlt
 
-    P1 = (K @ jnp.concatenate([R1, t1[:, None]], axis=1))[None]
-    P2 = (K @ jnp.concatenate([R2, t2[:, None]], axis=1))[None]
+    P1 = jnp.matmul(K, jnp.concatenate([R1, t1[:, None]], axis=1), precision=_HI)[None]
+    P2 = jnp.matmul(K, jnp.concatenate([R2, t2[:, None]], axis=1), precision=_HI)[None]
     return triangulate_dlt(P1, P2, x1[None], x2[None])[0]
 
 
@@ -232,12 +236,12 @@ def _covis_match_triangulate(nb_desc, nb_xy, nb_oct, nb_ang, nb_valid,
         has = m12 >= 0
         i2 = jnp.clip(m12, 0)
         x2 = cur_xy[i2]
-        P1 = (K @ jnp.concatenate([Rn, tn[:, None]], axis=1))
-        P2 = (K @ jnp.concatenate([R_cur, t_cur[:, None]], axis=1))
+        P1 = jnp.matmul(K, jnp.concatenate([Rn, tn[:, None]], axis=1), precision=_HI)
+        P2 = jnp.matmul(K, jnp.concatenate([R_cur, t_cur[:, None]], axis=1), precision=_HI)
         pts = triangulate_dlt(P1[None], P2[None], nbxy[None], x2[None])[0]
 
         def chi2(R, t, uv):
-            pc = pts @ R.T + t
+            pc = jnp.matmul(pts, R.T, precision=_HI) + t
             z = pc[:, 2]
             zi = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
             u = K[0, 0] * pc[:, 0] / zi + K[0, 2]
@@ -248,8 +252,8 @@ def _covis_match_triangulate(nb_desc, nb_xy, nb_oct, nb_ang, nb_valid,
         err2, z2 = chi2(R_cur, t_cur, x2)
         s2_1 = scale_factor ** (2.0 * nboct.astype(jnp.float32))
         s2_2 = scale_factor ** (2.0 * cur_oct[i2].astype(jnp.float32))
-        o1 = -Rn.T @ tn
-        o2 = -R_cur.T @ t_cur
+        o1 = -jnp.matmul(Rn.T, tn, precision=_HI)
+        o2 = -jnp.matmul(R_cur.T, t_cur, precision=_HI)
         r1 = pts - o1
         r2 = pts - o2
         cosp = jnp.sum(r1 * r2, -1) / jnp.maximum(
