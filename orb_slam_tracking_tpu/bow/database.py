@@ -22,10 +22,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 # float32 matmul precision on TPU (the default truncates to bfloat16
 # - see optim/ba.py:_obs_residuals).
 _HI = jax.lax.Precision.HIGHEST
-import numpy as np
 
 __all__ = [
     "KeyframeDatabase", "empty_database", "add_keyframe", "query",

@@ -74,10 +74,11 @@ def _obs_residuals(kf_R, kf_t, pts, obs_kf, obs_pt, obs_uv, fx, fy, cx, cy):
     # Measured round 4 (scripts/ba_bench.py on chip): default precision
     # converged to 90,816 robust chi2 on the 64-KF problem where the
     # identical program on CPU (and the vendored g2o) reaches 20,477;
-    # pinning the residual/update path recovers the correct optimum
-    # while the heavy Hessian/Schur einsums stay at MXU-native default
-    # (LM tolerates an approximate Hessian; it cannot tolerate a wrong
-    # gradient/residual).
+    # pinning the residual/update path recovers the correct optimum.
+    # The whole solve now runs at float32 matmul precision: the
+    # Hessian/Schur einsums are pinned too (_HEAVY == HIGHEST; HIGH
+    # (3-pass) was A/B'd at +3.8% speed but +1.1% off-optimum cost and
+    # rejected — see the _HEAVY definition above).
     pc = jnp.einsum("oij,oj->oi", Ro, Xo, precision=_HI) + to
     x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
     zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
@@ -140,13 +141,15 @@ def bundle_adjust(
     every remaining step is a ``lax.cond`` no-op. Converged means any of
     - an ACCEPTED step improved the robust cost by less than
       ``early_stop_rel * cost``,
-    - three CONSECUTIVE steps were rejected (at the optimum LM proposals
-      stop improving the cost and get rejected, so an accepted-step gate
-      alone never fires there; this is g2o's own trials-after-failure
+    - a REJECTED step whose PREDICTED decrease was already below the
+      same threshold (at the optimum the gradient is ~0, so the LM
+      model's optimistic gain ~|g|^2/(2*lam) is tiny; a mid-solve
+      model-mismatch rejection predicts a large gain and keeps going —
+      an accepted-step gate alone never fires at the optimum because
+      proposals there stop being accepted),
+    - ten CONSECUTIVE rejections (g2o's trials-after-failure
       termination, ``optimization_algorithm_levenberg.cpp:51,149-151``
-      — ``maxTrialsAfterFailure``, default 10 — with a tighter budget:
-      three rejections mean the Nielsen damping has already grown ~100x
-      without finding a descent direction),
+      — ``_maxTrialsAfterFailure``, default 10),
     - the damping blew past 1e8 (stuck).
     On TPU a scalar-predicate cond executes only the taken branch, so
     converged solves stop paying the dispatch-bound iteration cost — the
@@ -273,23 +276,33 @@ def bundle_adjust(
         rejects = jnp.where(good, 0, rejects + 1)
         if early_stop_rel > 0.0:
             # converged = an ACCEPTED step improved the cost by less than
-            # the threshold. The tiny-delta test must NOT fire on rejected
-            # steps: after a mid-optimization rejection the Nielsen damping
-            # spikes and the next (damped) proposal moves the cost by ~1e-7
-            # relative even though real descent remains — an
-            # either-direction gate stops there and leaves the solve
+            # the threshold. The tiny-ACTUAL-delta test must NOT fire on
+            # rejected steps: after a mid-optimization rejection the
+            # Nielsen damping spikes and the next (damped) proposal moves
+            # the cost by ~1e-7 relative even though real descent remains
+            # — an either-direction gate stops there and leaves the solve
             # unconverged (measured round 4: clean-loop device-mapping ATE
             # 2.11 cm with the either-direction gate vs 0.99 cm without,
             # at BOTH rel=1e-4 and 1e-5 — threshold-independent, which is
             # the fingerprint of firing on damped rejected steps).
-            # Rejected-at-optimum terminates via the rejection streak
-            # instead (g2o's trials-after-failure,
-            # optimization_algorithm_levenberg.cpp:51,149-151): three
-            # consecutive rejections mean the damping grew ~64x without
-            # finding a descent direction.
-            converged = good & (
-                (cost - new_cost) <= early_stop_rel * jnp.abs(cost))
-            done = done | converged | (rejects >= 3) | (lam_new > 1e8)
+            # Rejected-at-optimum terminates via the PREDICTED decrease
+            # instead: the LM model's optimistic decrease is ~|g|^2/(2*lam),
+            # so a rejected proposal whose predicted gain is already below
+            # threshold means the gradient itself is ~0 (at the optimum),
+            # whereas a mid-solve rejection — model mismatch with real
+            # descent remaining — predicts a large gain and keeps going.
+            # (Round 5: this replaces a 3-rejection streak, which measured
+            # premature on hard problems — 4-5 consecutive rejections with
+            # 9x cost descent remaining on 28-deg-perturbed starts; see
+            # tests/test_ba.py::test_ba_gate_survives_midsolve_rejections.)
+            # The 10-rejection streak backstop matches g2o's
+            # trials-after-failure default (_maxTrialsAfterFailure = 10,
+            # optimization_algorithm_levenberg.cpp:51,149-151).
+            rel = early_stop_rel * jnp.abs(cost)
+            converged_acc = good & ((cost - new_cost) <= rel)
+            converged_rej = (~good) & (jnp.abs(predc + predp) <= rel)
+            done = (done | converged_acc | converged_rej
+                    | (rejects >= 10) | (lam_new > 1e8))
         R = jnp.where(good, R_new, R)
         t = jnp.where(good, t_new, t)
         X = jnp.where(good, X_new, X)
@@ -298,7 +311,12 @@ def bundle_adjust(
 
     def step(carry, _):
         if early_stop_rel > 0.0:
-            carry = jax.lax.cond(carry[-1], lambda c: c, lm_iter, carry)
+            # carry = (R, t, X, lam, nu, cost, done, rejects); skip only
+            # once `done` is set. (carry[-1] is the rejects counter — using
+            # it here froze the solve on the first rejected LM step,
+            # advisor finding r4.)
+            done = carry[6]
+            carry = jax.lax.cond(done, lambda c: c, lm_iter, carry)
         else:
             carry = lm_iter(carry)
         return carry, None

@@ -39,9 +39,6 @@ from typing import List, Optional, Set, Tuple
 import jax
 import jax.numpy as jnp
 
-# float32 matmul precision on TPU (the default truncates to bfloat16
-# - see optim/ba.py:_obs_residuals).
-_HI = jax.lax.Precision.HIGHEST
 import numpy as np
 
 from ..bow.database import KeyframeDatabase, query
@@ -54,6 +51,10 @@ from ..optim.pose_graph import optimize_pose_graph, relative_sim3
 from .map import SlamMap
 
 __all__ = ["LoopCloser", "covisibility_matrix", "covisible_slots"]
+
+# float32 matmul precision on TPU (the default truncates to bfloat16
+# - see optim/ba.py:_obs_residuals).
+_HI = jax.lax.Precision.HIGHEST
 
 # fixed capacity for the Sim(3) correspondence arrays (compile once)
 _SIM3_CAP = 512

@@ -34,9 +34,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# float32 matmul precision on TPU (the default truncates to bfloat16
-# - see optim/ba.py:_obs_residuals).
-_HI = jax.lax.Precision.HIGHEST
 import numpy as np
 
 from ..config import SystemConfig
@@ -54,6 +51,10 @@ from ..types import Keypoints
 from .map import OBS_PER_KF, SlamMap, empty_map, free_slots
 
 __all__ = ["Tracker", "TrackState"]
+
+# float32 matmul precision on TPU (the default truncates to bfloat16
+# - see optim/ba.py:_obs_residuals).
+_HI = jax.lax.Precision.HIGHEST
 
 
 class TrackState:

@@ -129,8 +129,19 @@ def render_frame(field: CornerField, cam: CameraConfig, R: np.ndarray,
     return np.clip(img, 0.0, 255.0)
 
 
-def make_trajectory(n_frames: int, mode: str = "strafe") -> List[Tuple[np.ndarray, np.ndarray]]:
-    """Ground-truth world-to-camera poses for a smooth test trajectory."""
+def make_trajectory(
+    n_frames: int, mode: str = "strafe", rotation_prefix: float = 0.15,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Ground-truth world-to-camera poses for a smooth test trajectory.
+
+    ``rotation_prefix`` applies to ``mode='rotation'`` only: the fraction
+    of the trajectory spent on an initial strafe that gives the monocular
+    bootstrap parallax. NOTE (round-4 semantic change, advisor): before
+    round 4 the mode had NO prefix and measured bootstrap-refusal stress;
+    with the default 0.15 prefix it measures tracking-through-rotation
+    stress. Pass ``rotation_prefix=0.0`` to reproduce the old behavior;
+    cross-round comparisons of 'rotation' results must name the prefix.
+    """
     poses = []
     for i in range(n_frames):
         s = i / max(n_frames - 1, 1)
@@ -158,9 +169,12 @@ def make_trajectory(n_frames: int, mode: str = "strafe") -> List[Tuple[np.ndarra
             # motion model and keyframe lifecycle must survive a
             # sustained rotation sweep at ~0.1 deg/frame yaw with almost
             # no translation — the classic mono-SLAM failure axis.
-            p = 0.15
-            sp = min(s, p) / p          # strafe phase progress [0,1]
-            sr = max(s - p, 0.0) / (1 - p)  # rotation phase progress
+            p = rotation_prefix
+            if p <= 0.0:
+                sp, sr = 0.0, s          # pure rotation (pre-r4 behavior)
+            else:
+                sp = min(s, p) / p          # strafe phase progress [0,1]
+                sr = max(s - p, 0.0) / (1 - p)  # rotation phase progress
             yaw = np.radians(24.0 * sr)
             cwx = -0.25 * sp - 0.3 * sr
             cwy = 0.04 * np.sin(2 * np.pi * sr)

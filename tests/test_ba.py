@@ -231,3 +231,42 @@ def test_ba_early_stop_gate_skips_iterations(rng):
     assert float(a.cost) == float(b.cost)
     assert np.array_equal(np.asarray(a.kf_R), np.asarray(b.kf_R))
     assert np.array_equal(np.asarray(a.pts), np.asarray(b.pts))
+
+
+def test_ba_gate_survives_midsolve_rejections():
+    """Regression (advisor r4 high): the early-stop gate's skip predicate
+    read the rejects counter instead of `done`, so the FIRST rejected LM
+    step permanently froze the solve. Also guards the round-5 gate
+    semantics: a 28-deg-perturbed start with 20% gross outliers produces
+    runs of 3-4 consecutive mid-solve rejections (measured: seed 0
+    rejects iterations 1-3 then descends 254223 -> 165565 — the buggy
+    predicate froze at 254223 and the old rejects>=3 streak terminated
+    there too; seed 2 rejects iterations 6-9 mid-descent). The gated
+    solve must keep descending through the streaks and land exactly
+    where the ungated one does."""
+    for seed in (0, 2):  # seed 0: 3-streak early; seed 2: 4-streak mid-solve
+        rng = np.random.default_rng(seed)
+        nK, nP = 6, 150
+        _, _, _, pts0, kf_R0, kf_t0, obs_kf, obs_pt, obs_uv = _ba_problem(
+            rng, noise_px=1.0, depth_noise=0.2, pose_noise=0.3)
+        # gross outliers: 20% of observations displaced up to 250 px
+        n_out = int(len(obs_uv) * 0.2)
+        idx = rng.choice(len(obs_uv), n_out, replace=False)
+        obs_uv = obs_uv.copy()
+        obs_uv[idx] += rng.uniform(-250, 250, (n_out, 2)).astype(np.float32)
+        fixed = np.zeros(nK, bool)
+        fixed[0] = True
+        O = len(obs_kf)
+        args = (
+            jnp.asarray(kf_R0), jnp.asarray(kf_t0), jnp.asarray(pts0),
+            jnp.asarray(obs_kf), jnp.asarray(obs_pt), jnp.asarray(obs_uv),
+            jnp.ones(O), jnp.ones(O, bool), jnp.asarray(fixed),
+            jnp.ones(nP, bool), jnp.asarray(K),
+        )
+        ref = bundle_adjust(*args, iterations=13)
+        gated = bundle_adjust(*args, iterations=13, early_stop_rel=1e-4)
+        # the buggy predicate froze at the first rejection (cost ~= the
+        # 1-2 iteration value, 1.3-1.7x the 13-iter cost on these seeds)
+        assert float(gated.cost) <= float(ref.cost) * 1.05 + 1e-3, (
+            f"seed {seed}: gated solve froze mid-descent: "
+            f"{float(gated.cost)} vs ungated {float(ref.cost)}")
