@@ -66,6 +66,14 @@ def main():
                     help="override OrbConfig.score_type (the reference's "
                          "ORBextractor scoreType enum) for sequence-level "
                          "Harris-vs-FAST A/B runs")
+    ap.add_argument("--recovery-after", type=int, default=None,
+                    metavar="M",
+                    help="recovery benchmark: frame index at which the "
+                         "scene becomes visible again after a blackout "
+                         "(make_synthetic_tum --blackout N,M -> pass "
+                         "M+1). Reports LOST span, frames-to-recover "
+                         "from M, and post-recovery ATE (Sim(3)-aligned "
+                         "on the post-recovery segment only)")
     ap.add_argument("--device-loop", action="store_true",
                     help="after the host bootstrap reaches WORKING, run "
                          "the remaining frames through the one-scan "
@@ -139,6 +147,8 @@ def main():
 
     tracker = Tracker(cfg)
     n_lost = 0
+    lost_flags = []          # per-frame: was the tracker LOST here?
+    lost_ts = []             # per-frame timestamps aligned with lost_flags
     frame_ms = []            # per-frame wall time (host+device, everything)
     kf_frame = []            # did this frame insert a keyframe?
     import time as _time
@@ -176,6 +186,8 @@ def main():
         lost = np.asarray(outs.lost)
         wall = _time.time() - t0
         n_lost = int(lost.sum())
+        lost_flags = [False] * i + [bool(v) for v in lost]
+        lost_ts = [f[0] for f in frames]
         Rs, ts_arr = np.asarray(outs.R), np.asarray(outs.t)
         for k in range(len(Rs)):
             tracker.trajectory.append(
@@ -195,6 +207,8 @@ def main():
         frame_ms.append((_time.time() - t0) * 1e3)
         kf_frame.append("kf" in out)
         state = out.get("state", "?")
+        lost_flags.append(state == "LOST")
+        lost_ts.append(ts)
         if state == "LOST":
             n_lost += 1
         if "used_h" in out:
@@ -276,6 +290,38 @@ def main():
     print(f"associated poses: {len(pairs)}  (scale {s_a:.4f})")
     print(f"ATE RMSE: {ate * 100:.2f} cm")
     print(f"RPE (delta={delta}): {rpe_t * 100:.2f} cm, {rpe_r:.3f} deg")
+
+    if args.recovery_after is not None and lost_flags:
+        m = args.recovery_after
+        post = lost_flags[m:]
+        first_ok = next((j for j, l in enumerate(post) if not l), None)
+        lost_span = [k for k, l in enumerate(lost_flags) if l]
+        span_txt = (f"frames {lost_span[0]}..{lost_span[-1]}"
+                    if lost_span else "none")
+        if first_ok is None:
+            print(f"recovery: NEVER RECOVERED after frame {m} "
+                  f"(LOST span: {span_txt})")
+            return 1
+        rec_frame = m + first_ok
+        rec_ts = lost_ts[rec_frame]
+        print(f"recovery: recovered at frame {rec_frame} "
+              f"({first_ok} frames after the scene returned at {m}; "
+              f"LOST span: {span_txt})")
+        # post-recovery ATE on its own Sim(3) alignment: measures the
+        # quality of the relocalized pose + subsequent tracking, not
+        # the (unobservable) drift accumulated during the blackout
+        sel = [k for k, (i_e, _) in enumerate(pairs)
+               if tracker.trajectory[i_e][1] >= rec_ts]
+        if len(sel) >= 3:
+            ec = est_centres[sel]
+            gc = gt_centres[sel]
+            R_r, t_r, s_r = umeyama_alignment(ec, gc)
+            al = (s_r * (R_r @ ec.T)).T + t_r
+            ate_rec = float(np.sqrt(np.mean(np.sum((al - gc) ** 2, -1))))
+            print(f"post-recovery ATE RMSE: {ate_rec * 100:.2f} cm "
+                  f"({len(sel)} poses)")
+        else:
+            print("post-recovery ATE: too few poses")
     return 0
 
 

@@ -67,7 +67,21 @@ def main():
                          "circuit this is what forces the EXPLICIT loop "
                          "closure (projection matching alone cannot "
                          "reconnect a drifted revisit)")
+    ap.add_argument("--blackout", default=None, metavar="N,M",
+                    help="blank frames N..M (inclusive, 0-based) to near-"
+                         "black: the tracker MUST drop to LOST there "
+                         "(the reference's mState=LOST intent, "
+                         "tracking.hpp LOST state) and the benchmark "
+                         "measures the recovery tiers — BoW/PnP "
+                         "relocalization and TrackReferenceKeyFrame — "
+                         "once the scene returns: recovery rate, frames-"
+                         "to-recover, post-recovery ATE")
     args = ap.parse_args()
+    blackout = None
+    if args.blackout:
+        n, m = (int(v) for v in args.blackout.split(","))
+        assert 0 <= n <= m, (n, m)
+        blackout = (n, m)
 
     from PIL import Image
 
@@ -132,6 +146,10 @@ def main():
         img = render_frame(field, cam, R, t)
         if args.noise > 0:
             img = img + rng.normal(0.0, args.noise, img.shape)
+        if blackout is not None and blackout[0] <= i <= blackout[1]:
+            # a sensor blackout: uniform near-black + faint noise so the
+            # extractor finds essentially no corners (FAST needs contrast)
+            img = np.full_like(img, 8.0) + rng.normal(0.0, 1.0, img.shape)
         img = np.clip(img, 0, 255).astype(np.uint8)
         name = f"rgb/{ts:.6f}.png"
         Image.fromarray(img, mode="L").save(

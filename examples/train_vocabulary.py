@@ -82,11 +82,17 @@ def main():
         per_scene = 8
         n_scenes = max(1, args.synthetic // per_scene)
         modes = ("strafe", "loop", "forward", "rotation")
+        # appearance families (CornerField style, round 5): corpora drawn
+        # from one texture family cluster too narrowly — cycle four
+        # procedural families so the vocabulary sees edge-, checker- and
+        # speckle-statistics alongside the blob constellations
+        styles = ("blobs", "edges", "checker", "speckle")
         for s in range(n_scenes):
             field = CornerField(
                 rng, n=int(rng.integers(400, 900)),
                 x=(-6.0, 6.0), y=(-3.5, 3.5),
-                z=(float(rng.uniform(2.5, 4.0)), float(rng.uniform(8.0, 12.0))))
+                z=(float(rng.uniform(2.5, 4.0)), float(rng.uniform(8.0, 12.0))),
+                style=styles[int(rng.integers(0, len(styles)))])
             traj = make_trajectory(per_scene * 4, modes[s % len(modes)])
             for R, t in traj[:: 4]:
                 frames.append(render_frame(field, cam, R, t))

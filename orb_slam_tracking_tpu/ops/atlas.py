@@ -34,6 +34,7 @@ Reference semantics replicated: ``ORBextractor::operator()``
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, NamedTuple, Tuple
 
 import jax
@@ -133,13 +134,22 @@ def orb_extract_atlas(image: jnp.ndarray, cfg: OrbConfig,
     harris = cfg.score_type == "harris"
 
     # --- the four heavy single-pass stages ---
-    if jax.default_backend() == "tpu":
+    on_tpu = jax.default_backend() == "tpu"
+    # Per-keypoint moments kernel (round 5): the dense canvas pass costs
+    # 0.402 ms of VPU time for ~2M pixels of which only the ~2k selected
+    # keypoints are read. Gated until validated on real hardware
+    # (interpret mode has missed Mosaic lowering restrictions before —
+    # .claude/skills/verify/SKILL.md).
+    kp_moments = on_tpu and os.environ.get(
+        "ORB_TPU_KP_MOMENTS", "0") == "1"
+    if on_tpu:
         from .pallas_kernels import fast_score_pallas
 
         score_c = fast_score_pallas(canvas, _PAD)
     else:
         score_c = fast_score(canvas, _PAD)
-    m10_c, m01_c = moment_maps(canvas)          # canvas-interior aligned
+    if not kp_moments:
+        m10_c, m01_c = moment_maps(canvas)      # canvas-interior aligned
     blurred_c = gaussian_blur(canvas)
     if harris:
         from .harris import harris_response
@@ -175,7 +185,16 @@ def orb_extract_atlas(image: jnp.ndarray, cfg: OrbConfig,
         valids.append(valid)
 
     xy_c = jnp.concatenate(xy_atlas)
-    angle = angles_at(m10_c, m01_c, xy_c)       # one gather, all levels
+    if kp_moments:
+        from .pallas_kernels import moments_at_pallas
+
+        yc = xy_c[:, 1].astype(jnp.int32) + _PAD   # absolute canvas pixel
+        xc = xy_c[:, 0].astype(jnp.int32) + _PAD
+        g10, g01 = moments_at_pallas(canvas, yc, xc)
+        ang = jnp.degrees(jnp.arctan2(g01, g10))
+        angle = jnp.where(ang < 0, ang + 360.0, ang)
+    else:
+        angle = angles_at(m10_c, m01_c, xy_c)   # one gather, all levels
     desc = descriptors_at(blurred_c, xy_c, angle)  # one sampler pass
 
     xy = jnp.concatenate(xs)

@@ -33,8 +33,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fast import RING_OFFSETS, _ARC
+from .pattern import HALF_PATCH_SIZE, umax_table
 
-__all__ = ["hamming_matrix_pallas", "fast_score_pallas", "brief_sample_pallas"]
+__all__ = ["hamming_matrix_pallas", "fast_score_pallas",
+           "brief_sample_pallas", "moments_at_pallas"]
 
 
 # ---------------------------------------------------------------------------
@@ -342,6 +344,131 @@ def brief_sample_pallas(blurred_padded: jnp.ndarray, sy: jnp.ndarray,
         interpret=interpret,
     )(rs, cs, ly, lx, img)
     return out[:n0]
+
+
+# ---------------------------------------------------------------------------
+# Per-keypoint IC disc moments
+# ---------------------------------------------------------------------------
+
+_M_ROWS = 40   # 8-aligned patch rows: disc radius 15 + 2 slack + <=7
+               # alignment slop + 15 = 39 max local row
+_M_COLS = 256  # 128-aligned patch cols: 15 + 2 + <=127 slop + 15 = 159 max
+_M_GROUP = 16
+
+
+def _moments_kernel(rs_ref, cs_ref, cyl_ref, cxl_ref, img_ref, out_ref,
+                    patch_ref, sems):
+    """Per-keypoint IC disc moments (m10, m01) — the data the dense
+    ``orientation.moment_maps`` canvas pass (its round-3 on-chip cost:
+    0.402 ms) computes for every one of ~2M canvas pixels but the
+    extractor only ever reads at the ~2k selected keypoints. This kernel
+    computes them per keypoint from the same 48-row DMA structure as the
+    BRIEF sampler (double-buffered patch fetches, grid-step pipelined),
+    replacing ~0.4 GFLOP of dense VPU work with ~3 MFLOP of masked
+    per-patch reductions.
+
+    Disc semantics are the reference's ``IC_Angle``
+    (``Features/ORBextractor.cpp:103-159``): rows |dy| <= 15, per-row
+    half-width umax[|dy|] (the symmetric cvRound disc, pattern.py).
+    The umax lookup is a static 16-term select chain on the tiny
+    [G, M_ROWS] |dy| tensor.
+    """
+    i = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+
+    def dma_for(step, buf, j):
+        k = step * _M_GROUP + j
+        rs = pl.multiple_of(rs_ref[k], 8)
+        cs = pl.multiple_of(cs_ref[k], 128)
+        return pltpu.make_async_copy(
+            img_ref.at[pl.ds(rs, _M_ROWS), pl.ds(cs, _M_COLS)],
+            patch_ref.at[buf, j],
+            sems.at[buf, j],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for j in range(_M_GROUP):
+            dma_for(i, slot, j).start()
+
+    @pl.when(i + 1 < n_steps)
+    def _():
+        nxt = jax.lax.rem(i + 1, 2)
+        for j in range(_M_GROUP):
+            dma_for(i + 1, nxt, j).start()
+
+    for j in range(_M_GROUP):
+        dma_for(i, slot, j).wait()
+    patches = patch_ref[slot]                      # [G, M_ROWS, M_COLS]
+
+    base = i * _M_GROUP
+    cyl = jnp.stack([cyl_ref[base + j] for j in range(_M_GROUP)])
+    cxl = jnp.stack([cxl_ref[base + j] for j in range(_M_GROUP)])
+
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (_M_GROUP, _M_ROWS), 1)
+    ady1 = jnp.abs(rows1 - cyl[:, None])           # [G, M_ROWS]
+    u = jnp.zeros_like(ady1)
+    for k, uk in enumerate(umax_table().tolist()):
+        u = jnp.where(ady1 == k, jnp.int32(uk), u)
+
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (_M_GROUP, _M_ROWS, _M_COLS), 1)
+    cols = jax.lax.broadcasted_iota(
+        jnp.int32, (_M_GROUP, _M_ROWS, _M_COLS), 2)
+    dy = rows - cyl[:, None, None]
+    dx = cols - cxl[:, None, None]
+    mask = (jnp.abs(dy) <= HALF_PATCH_SIZE) & (jnp.abs(dx) <= u[:, :, None])
+    w = jnp.where(mask, patches, 0.0)
+    m10 = jnp.sum(w * dx.astype(jnp.float32), axis=(1, 2))   # [G]
+    m01 = jnp.sum(w * dy.astype(jnp.float32), axis=(1, 2))
+    out_ref[:] = jnp.concatenate(
+        [m10[:, None], m01[:, None],
+         jnp.zeros((_M_GROUP, 126), jnp.float32)], axis=1)
+
+
+def moments_at_pallas(canvas: jnp.ndarray, yc: jnp.ndarray, xc: jnp.ndarray,
+                      interpret: bool = False) -> tuple:
+    """(m10, m01) [N] at absolute pixel coords (yc, xc) of ``canvas``.
+
+    ``yc``/``xc`` are int32 coordinates INTO the raw (padded) canvas —
+    the caller adds the apron offset; keypoints live >= 19 px from every
+    block edge so the radius-15 disc reads stay inside the owning block.
+    """
+    n0 = yc.shape[0]
+    n = ((n0 + _M_GROUP - 1) // _M_GROUP) * _M_GROUP
+    if n != n0:
+        yc = jnp.concatenate([yc, jnp.broadcast_to(yc[:1], (n - n0,))])
+        xc = jnp.concatenate([xc, jnp.broadcast_to(xc[:1], (n - n0,))])
+    hp, wp = canvas.shape
+    rows_pad = ((hp + 7) // 8) * 8 + _M_ROWS
+    cols_pad = ((wp + 127) // 128) * 128 + _M_COLS
+    img = jnp.pad(canvas, ((0, rows_pad - hp), (0, cols_pad - wp)))
+    rs = jnp.clip((yc - HALF_PATCH_SIZE - 2) & ~7,
+                  0, rows_pad - _M_ROWS).astype(jnp.int32)
+    cs = jnp.clip((xc - HALF_PATCH_SIZE - 2) & ~127,
+                  0, cols_pad - _M_COLS).astype(jnp.int32)
+    cyl = (yc - rs).astype(jnp.int32)
+    cxl = (xc - cs).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n // _M_GROUP,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((_M_GROUP, 128),
+                               lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, _M_GROUP, _M_ROWS, _M_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, _M_GROUP)),
+        ],
+    )
+    out = pl.pallas_call(
+        _moments_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(rs, cs, cyl, cxl, img)
+    return out[:n0, 0], out[:n0, 1]
 
 
 def fast_score_pallas(padded: jnp.ndarray, pad: int,

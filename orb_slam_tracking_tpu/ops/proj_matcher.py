@@ -18,9 +18,24 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-# float32 matmul precision on TPU (the default truncates to bfloat16
-# - see optim/ba.py:_obs_residuals).
-_HI = jax.lax.Precision.HIGHEST
+# Matmul precision for the TRACKING hot path: DEFAULT (bf16), NOT
+# pinned. Round 4 pinned these ops to HIGHEST (a 6-pass bf16 emulation
+# of f32) citing the BA residual finding (optim/ba.py:_obs_residuals);
+# round 5 reproduced the official-bench tracking regression on a quiet
+# relay (151.11 fps vs r3's 253.41) and bisected it to exactly these
+# pins: ORB_TRACKING_F32=0 measured 251.42 fps on the same relay
+# session, a 1.66x step-time difference. The pin stays available for
+# A/B (ORB_TRACKING_F32=1) but defaults OFF: unlike the BA residual
+# path - where default precision measurably stalls convergence at a
+# wrong optimum - the pose path never had a measured accuracy problem
+# (the r3 clean-loop ATE 0.87 cm / device-loop 0.99 cm were achieved
+# at default precision; +-0.5 px observation noise dominates any bf16
+# rounding of the projection transform, and the LM reclassification
+# absorbs the rest).
+import os as _os
+_HI = (jax.lax.Precision.HIGHEST
+       if _os.environ.get("ORB_TRACKING_F32", "0") == "1"
+       else jax.lax.Precision.DEFAULT)
 
 from ..config import MatcherConfig
 from .hamming import hamming_matrix

@@ -34,7 +34,7 @@ class CornerField:
 
     def __init__(self, rng: np.random.Generator, n: int = 600,
                  x=(-4.0, 4.0), y=(-3.0, 3.0), z=(3.0, 9.0),
-                 pts: np.ndarray | None = None):
+                 pts: np.ndarray | None = None, style: str = "blobs"):
         if pts is not None:
             n = len(pts)
             self.pts = np.asarray(pts, np.float32)
@@ -46,15 +46,65 @@ class CornerField:
         # sub-blob offsets (units of size_m), signed amplitudes, and
         # anisotropic widths: varied local structure makes descriptors
         # globally distinctive (needed for window-free relocalization
-        # matching, as with real textured scenes)
-        self.blob_off = rng.uniform(-1.3, 1.3, (n, self.N_BLOBS, 2)).astype(np.float32)
-        self.blob_off[:, 0] = 0.0  # one blob centred on the point itself
-        self.blob_amp = (
-            rng.uniform(60, 240, (n, self.N_BLOBS))
-            * rng.choice([-0.6, 1.0], (n, self.N_BLOBS), p=[0.35, 0.65])
-        ).astype(np.float32)
-        self.blob_amp[:, 0] = np.abs(self.blob_amp[:, 0])
-        self.blob_sig = rng.uniform(0.15, 0.55, (n, self.N_BLOBS, 2)).astype(np.float32)
+        # matching, as with real textured scenes).
+        #
+        # ``style`` picks the APPEARANCE FAMILY of the constellation —
+        # added round 5 for vocabulary-corpus diversity (the reference's
+        # pretrained ORBvoc is trained on a heterogeneous real-image
+        # corpus, TemplatedVocabulary.h:107-140; descriptors from one
+        # procedural texture family cluster too narrowly):
+        #   blobs   — random Gaussian constellations (the original)
+        #   edges   — collinear elongated bars with alternating sign:
+        #             gradient-dominant, edge-like local structure
+        #   checker — 3x3 alternating-sign grid: high-frequency
+        #             checkerboard-like patches
+        #   speckle — many tiny random-sign speckles: noise-like texture
+        if style == "blobs":
+            nb = self.N_BLOBS
+            off = rng.uniform(-1.3, 1.3, (n, nb, 2))
+            amp = (rng.uniform(60, 240, (n, nb))
+                   * rng.choice([-0.6, 1.0], (n, nb), p=[0.35, 0.65]))
+            sig = rng.uniform(0.15, 0.55, (n, nb, 2))
+        elif style == "edges":
+            nb = 8
+            theta = rng.uniform(0, np.pi, n)
+            d = np.stack([np.cos(theta), np.sin(theta)], -1)  # [n, 2]
+            steps = np.linspace(-1.2, 1.2, nb, dtype=np.float32)
+            off = d[:, None, :] * steps[None, :, None]
+            off = off + rng.normal(0, 0.06, off.shape)
+            amp = (rng.uniform(90, 220, (n, nb))
+                   * np.where(np.arange(nb)[None, :] % 2 == 0, 1.0, -0.8))
+            # elongated ACROSS the bar direction: sig long axis fixed in
+            # the local frame (approximate: wide in both, narrow spacing
+            # creates the edge structure)
+            sig = np.stack([
+                np.broadcast_to(rng.uniform(0.5, 0.9, (n, 1)), (n, nb)),
+                np.broadcast_to(rng.uniform(0.10, 0.18, (n, 1)), (n, nb)),
+            ], -1)
+        elif style == "checker":
+            nb = 9
+            gx, gy = np.meshgrid(np.arange(3) - 1.0, np.arange(3) - 1.0)
+            off = np.broadcast_to(
+                np.stack([gx.ravel(), gy.ravel()], -1)[None] * 0.8,
+                (n, nb, 2)).copy()
+            off += rng.normal(0, 0.05, off.shape)
+            sign = np.where((np.arange(9) + np.arange(9) // 3) % 2 == 0,
+                            1.0, -0.85)
+            amp = rng.uniform(80, 200, (n, nb)) * sign[None, :]
+            sig = rng.uniform(0.22, 0.34, (n, 1, 1)) * np.ones((n, nb, 2))
+        elif style == "speckle":
+            nb = 24
+            off = rng.uniform(-1.4, 1.4, (n, nb, 2))
+            amp = (rng.uniform(40, 160, (n, nb))
+                   * rng.choice([-1.0, 1.0], (n, nb)))
+            sig = rng.uniform(0.06, 0.16, (n, nb, 2))
+        else:
+            raise ValueError(f"unknown CornerField style {style!r}")
+        off[:, 0] = 0.0  # one blob centred on the point itself
+        amp[:, 0] = np.abs(amp[:, 0])
+        self.blob_off = off.astype(np.float32)
+        self.blob_amp = amp.astype(np.float32)
+        self.blob_sig = sig.astype(np.float32)
 
 
 def ring_points(rng: np.random.Generator, n: int = 2400,

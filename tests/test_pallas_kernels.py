@@ -75,3 +75,44 @@ def test_fast_pallas_reference_image(init_images):
     ref = np.asarray(fast_score(padded, EDGE_THRESHOLD))
     got = np.asarray(fast_score_pallas(padded, EDGE_THRESHOLD, interpret=True))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_moments_pallas_matches_dense(rng):
+    """Per-keypoint IC disc moments (round 5) vs the dense canvas maps:
+    the same reference disc (IC_Angle, ORBextractor.cpp:103-159), summed
+    in a different order — equal to f32 reduction tolerance."""
+    from orb_slam_tracking_tpu.ops.orientation import moment_maps
+    from orb_slam_tracking_tpu.ops.pallas_kernels import moments_at_pallas
+
+    canvas = jnp.asarray((rng.random((200, 384)) * 255).astype(np.float32))
+    m10, m01 = moment_maps(canvas, EDGE_THRESHOLD)
+    h, w = m10.shape
+    ys = rng.integers(0, h, 96).astype(np.int32)
+    xs = rng.integers(0, w, 96).astype(np.int32)
+    p10, p01 = moments_at_pallas(
+        canvas, jnp.asarray(ys + EDGE_THRESHOLD),
+        jnp.asarray(xs + EDGE_THRESHOLD), interpret=True)
+    scale = np.abs(np.asarray(m10)[ys, xs]).max() + 1.0
+    np.testing.assert_allclose(
+        np.asarray(p10), np.asarray(m10)[ys, xs], atol=1e-5 * scale)
+    np.testing.assert_allclose(
+        np.asarray(p01), np.asarray(m01)[ys, xs], atol=1e-5 * scale)
+
+
+def test_moments_pallas_nongroup_multiple(rng):
+    """N not a multiple of the kernel group: padded tail sliced off."""
+    from orb_slam_tracking_tpu.ops.orientation import moment_maps
+    from orb_slam_tracking_tpu.ops.pallas_kernels import moments_at_pallas
+
+    canvas = jnp.asarray((rng.random((120, 256)) * 255).astype(np.float32))
+    m10, m01 = moment_maps(canvas, EDGE_THRESHOLD)
+    h, w = m10.shape
+    ys = rng.integers(0, h, 37).astype(np.int32)
+    xs = rng.integers(0, w, 37).astype(np.int32)
+    p10, p01 = moments_at_pallas(
+        canvas, jnp.asarray(ys + EDGE_THRESHOLD),
+        jnp.asarray(xs + EDGE_THRESHOLD), interpret=True)
+    assert p10.shape == (37,) and p01.shape == (37,)
+    scale = np.abs(np.asarray(m10)[ys, xs]).max() + 1.0
+    np.testing.assert_allclose(
+        np.asarray(p10), np.asarray(m10)[ys, xs], atol=1e-5 * scale)
