@@ -66,6 +66,13 @@ def main():
                     help="override OrbConfig.score_type (the reference's "
                          "ORBextractor scoreType enum) for sequence-level "
                          "Harris-vs-FAST A/B runs")
+    ap.add_argument("--rh-threshold", type=float, default=None,
+                    help="override InitConfig.rh_threshold (H-vs-F model "
+                         "selection: RH > th => homography). The reference "
+                         "uses 0.50 (ORB-SLAM3 convention) and its own "
+                         "comment notes ORB-SLAM2 used 0.40 "
+                         "(Initializer.cpp:110-111); 0.40 prefers H on "
+                         "near-planar scenes where the scores tie")
     ap.add_argument("--recovery-after", type=int, default=None,
                     metavar="M",
                     help="recovery benchmark: frame index at which the "
@@ -134,6 +141,10 @@ def main():
         cfg = dataclasses.replace(
             cfg, orb=dataclasses.replace(cfg.orb,
                                          score_type=args.score_type))
+    if args.rh_threshold is not None:
+        cfg = dataclasses.replace(
+            cfg, init=dataclasses.replace(cfg.init,
+                                          rh_threshold=args.rh_threshold))
     tk_over = {}
     if args.max_keyframes:
         tk_over["max_keyframes"] = args.max_keyframes

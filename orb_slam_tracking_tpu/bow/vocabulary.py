@@ -61,11 +61,21 @@ def _bitwise_majority(descs: np.ndarray) -> np.ndarray:
     return np.packbits(maj, bitorder="little").view(np.uint32)
 
 
+# 16-bit popcount lookup table: Hamming distance between [*, 8]-uint32
+# descriptor rows is 16 LUT gathers on their uint16 halves — ~8x less
+# memory traffic than the unpackbits/compare formulation it replaced
+# (load-bearing at 1M-word training scale: the trainer calls this
+# O(levels x iters) times over the full multi-million-descriptor corpus).
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)],
+                  dtype=np.uint8)
+
+
 def _hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """[N, 8] x [M, 8] -> [N, M] int popcount distances (host-side)."""
-    ab = np.unpackbits(a.view(np.uint8), axis=1, bitorder="little")
-    bb = np.unpackbits(b.view(np.uint8), axis=1, bitorder="little")
-    return (ab[:, None, :] != bb[None, :, :]).sum(-1)
+    a16 = np.ascontiguousarray(a).view(np.uint16)   # [N, 16]
+    b16 = np.ascontiguousarray(b).view(np.uint16)   # [M, 16]
+    x = np.bitwise_xor(a16[:, None, :], b16[None, :, :])
+    return _POP16[x].sum(-1, dtype=np.int32)
 
 
 def _kmedians(rng, descs: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
@@ -78,12 +88,18 @@ def _kmedians(rng, descs: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
         out[:n] = descs
         out[n:] = descs[rng.integers(0, n, k - n)]
         return out
-    # kmeans++ seeding on Hamming distance
+    # kmeans++ seeding on Hamming distance; d2 carries the running
+    # min-distance-to-chosen-centers so each new center costs ONE
+    # [n, 1] distance column, not a full recomputed [n, len(centers)]
+    # matrix (the recompute made seeding O(k^2 n) — the dominant cost
+    # of the 100k-word round-4 train).
     centers = [descs[rng.integers(n)]]
+    d2 = _hamming_np(descs, centers[0][None]).ravel().astype(np.float64)
     for _ in range(k - 1):
-        d = _hamming_np(descs, np.stack(centers)).min(1).astype(np.float64)
-        p = d / max(d.sum(), 1e-9)
+        p = d2 / max(d2.sum(), 1e-9)
         centers.append(descs[rng.choice(n, p=p)])
+        d_new = _hamming_np(descs, centers[-1][None]).ravel()
+        np.minimum(d2, d_new, out=d2)
     C = np.stack(centers)
     for _ in range(iters):
         assign = _hamming_np(descs, C).argmin(1)
@@ -114,8 +130,13 @@ def build_vocabulary(descs: np.ndarray, k: int = 10, depth: int = 4,
     for lvl in range(depth):
         centers = np.zeros((n_nodes * k, 8), np.uint32)
         new_assign = np.zeros_like(assign)
+        # one sort per level instead of an O(n) `assign == node` scan per
+        # node (100k scans of a multi-million-element array at the leaf
+        # level of a 1M-word k=10 L=6 tree)
+        order = np.argsort(assign, kind="stable")
+        bounds = np.searchsorted(assign[order], np.arange(n_nodes + 1))
         for node in range(n_nodes):
-            sel = np.where(assign == node)[0]
+            sel = order[bounds[node]:bounds[node + 1]]
             C = _kmedians(rng, descs[sel], k)
             centers[node * k : (node + 1) * k] = C
             if len(sel):

@@ -1,0 +1,285 @@
+#!/usr/bin/env python
+"""Isolate the binding stage of bundle_adjust at the 64-KF scale.
+
+The round-5 anchors read TPU/g2o = 1.45x at local64 (32.35 vs 22.34 LM
+iters/s) and 1.32x at global96 — the ratio SHRINKS with scale, opposite
+the MXU expectation. 31 ms/LM-iter at local64 is ~30x the analytic
+compute+bandwidth floor, so something structural binds. Prime suspect:
+the five `.at[].add` segment-sums over the 65,536-observation axis
+(U, V, g_c, g_p, Wb in `optim/ba.py:lm_iter`) — XLA lowers colliding
+scatter-adds on TPU to a serialized update loop.
+
+One jitted program per process (relay wedge protocol: keep jit counts
+minimal), selected with --variant:
+
+  full        bundle_adjust(10 iters) — calibration against ba_bench
+  resid       residual+Jacobian stage only (chained x10)
+  blocks      resid + the 5 scatter-adds exactly as lm_iter builds them
+  blocks_flag same, indices_are_sorted=True on the point-keyed scatters
+              (ba_bench's obs_pt is repeat(arange): already sorted)
+  blocks_mm   scatter-free: one-hot MXU matmul for the camera-keyed
+              sums (nK=64 targets), cumsum-difference segment sums for
+              the point-keyed ones (sorted keys)
+  schur       the dense Schur algebra (Y/S/rhs einsums + 384x384
+              cho_solve + back-substitution) from materialized blocks
+
+Chained two-point timing per BASELINE.md methodology (the relay's
+block_until_ready lies). Usage:
+  python scripts/tpu_ba_blocks_experiment.py --variant blocks [--cpu]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--variant", required=True,
+                choices=["full", "resid", "blocks", "blocks_flag",
+                         "blocks_mm", "schur"])
+ap.add_argument("--cpu", action="store_true")
+ap.add_argument("--shape", default="local64")
+ap.add_argument("--json", default=None)
+args = ap.parse_args()
+
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from ba_bench import FX, FY, CX, CY, SHAPES, make_problem
+from orb_slam_tracking_tpu.optim.ba import _obs_residuals, bundle_adjust
+from orb_slam_tracking_tpu.optim.lm import huber_weight, inv3x3
+
+_HI = jax.lax.Precision.HIGHEST
+SCAN = 10
+CHI2 = 5.991
+
+nK, nP, OPP = SHAPES[args.shape]
+p = make_problem(0, args.shape)
+O = len(p["obs_kf"])
+nF = nK
+
+kf_R = jnp.asarray(p["kf_R0"], jnp.float32)
+kf_t = jnp.asarray(p["kf_t0"], jnp.float32)
+pts = jnp.asarray(p["pts0"], jnp.float32)
+obs_kf = jnp.asarray(p["obs_kf"])
+obs_pt = jnp.asarray(p["obs_pt"])
+obs_uv = jnp.asarray(p["obs_uv"], jnp.float32)
+K = jnp.asarray([[FX, 0, CX], [0, FY, CY], [0, 0, 1]], jnp.float32)
+
+free_cam = jnp.logical_not(jnp.asarray(p["kf_fixed"]))
+free_rank = jnp.cumsum(free_cam.astype(jnp.int32)) - 1
+in_window = free_cam & (free_rank < nF)
+fidx = jnp.where(in_window, free_rank, nF)
+obs_fidx = fidx[obs_kf]
+
+# host-side segment boundaries for the cumsum variants. obs_pt arrives
+# sorted, but fixed cameras map to the dump slot (rank nF > any free
+# rank), so the (pt, fidx) flat key is NOT ascending within a point —
+# sort all obs arrays by the flat key (stable, pt-major: obs_pt stays
+# sorted; segment sums are order-independent, so every variant can use
+# the same order)
+fidx_np = np.asarray(fidx)
+flat_np = (p["obs_pt"].astype(np.int64) * (nF + 1)
+           + fidx_np[p["obs_kf"]])
+perm = np.argsort(flat_np, kind="stable")
+for key in ("obs_kf", "obs_pt", "obs_uv"):
+    p[key] = p[key][perm]
+flat_np = flat_np[perm]
+obs_kf = jnp.asarray(p["obs_kf"])
+obs_pt = jnp.asarray(p["obs_pt"])
+obs_uv = jnp.asarray(p["obs_uv"], jnp.float32)
+obs_fidx = fidx[obs_kf]
+okf_np, opt_np = p["obs_kf"], p["obs_pt"]
+assert (np.diff(opt_np) >= 0).all(), "obs_pt must be sorted"
+assert (np.diff(flat_np) >= 0).all(), "flat (pt,fidx) keys must be sorted"
+pt_starts = jnp.asarray(np.searchsorted(opt_np, np.arange(nP), "left"))
+pt_ends = jnp.asarray(np.searchsorted(opt_np, np.arange(nP), "right"))
+cells = np.arange(nP * (nF + 1), dtype=np.int64)
+cell_starts = jnp.asarray(np.searchsorted(flat_np, cells, "left"))
+cell_ends = jnp.asarray(np.searchsorted(flat_np, cells, "right"))
+
+
+def residjac(t_shift):
+    # t_shift: tiny chained perturbation so every scan step recomputes
+    r, Jc, Jp, _ = _obs_residuals(
+        kf_R, kf_t + t_shift, pts, obs_kf, obs_pt, obs_uv,
+        K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+    chi2 = jnp.sum(r * r, axis=-1)
+    w = huber_weight(chi2, CHI2)
+    return r, Jc, Jp, w
+
+
+def obs_blocks(r, Jc, Jp, w):
+    bU = jnp.einsum("ori,o,orj->oij", Jc, w, Jc, precision=_HI)   # [O,6,6]
+    bV = jnp.einsum("ori,o,orj->oij", Jp, w, Jp, precision=_HI)   # [O,3,3]
+    bgc = jnp.einsum("ori,o,or->oi", Jc, w, r, precision=_HI)     # [O,6]
+    bgp = jnp.einsum("ori,o,or->oi", Jp, w, r, precision=_HI)     # [O,3]
+    bW = jnp.einsum("ori,o,orj->oij", Jc, w, Jp, precision=_HI)   # [O,6,3]
+    return bU, bV, bgc, bgp, bW
+
+
+def seg_cumsum(vals, starts, ends):
+    """Sorted-key segment sum via cumulative-sum differences."""
+    flat = vals.reshape(vals.shape[0], -1)
+    csum = jnp.cumsum(flat, axis=0)
+    top = csum[jnp.maximum(ends - 1, 0)]
+    bot = jnp.where((starts > 0)[:, None], csum[jnp.maximum(starts - 1, 0)], 0.0)
+    out = jnp.where((ends > starts)[:, None], top - bot, 0.0)
+    return out.reshape((starts.shape[0],) + vals.shape[1:])
+
+
+def make_fn():
+    v = args.variant
+    if v == "full":
+        @jax.jit
+        def run(t_shift):
+            res = bundle_adjust.__wrapped__(
+                kf_R, kf_t + t_shift, pts, obs_kf, obs_pt, obs_uv,
+                jnp.ones(O), jnp.ones(O, bool),
+                jnp.asarray(p["kf_fixed"]), jnp.ones(nP, bool), K,
+                iterations=SCAN)
+            s = (res.cost + jnp.sum(res.kf_t) + jnp.sum(res.pts) * 1e-9)
+            return t_shift + s * 1e-12
+        return run
+
+    if v == "resid":
+        @jax.jit
+        def run(t_shift):
+            def body(c, _):
+                r, Jc, Jp, w = residjac(c)
+                s = (jnp.sum(r) + jnp.sum(Jc) + jnp.sum(Jp) + jnp.sum(w))
+                return c + s * 1e-12, None
+            out, _ = jax.lax.scan(body, t_shift, None, length=SCAN)
+            return out
+        return run
+
+    if v in ("blocks", "blocks_flag"):
+        sorted_kw = (dict(indices_are_sorted=True, unique_indices=False)
+                     if v == "blocks_flag" else {})
+
+        @jax.jit
+        def run(t_shift):
+            def body(c, _):
+                r, Jc, Jp, w = residjac(c)
+                bU, bV, bgc, bgp, bW = obs_blocks(r, Jc, Jp, w)
+                U = jnp.zeros((nK, 6, 6)).at[obs_kf].add(bU)
+                g_c = jnp.zeros((nK, 6)).at[obs_kf].add(bgc)
+                V = jnp.zeros((nP, 3, 3)).at[obs_pt].add(bV, **sorted_kw)
+                g_p = jnp.zeros((nP, 3)).at[obs_pt].add(bgp, **sorted_kw)
+                Wb = jnp.zeros((nP, nF + 1, 6, 3)).at[obs_pt, obs_fidx].add(
+                    bW, **sorted_kw)[:, :nF]
+                s = (jnp.sum(U) + jnp.sum(V) + jnp.sum(g_c) + jnp.sum(g_p)
+                     + jnp.sum(Wb))
+                return c + s * 1e-12, None
+            out, _ = jax.lax.scan(body, t_shift, None, length=SCAN)
+            return out
+        return run
+
+    if v == "blocks_mm":
+        onehot = (obs_kf[None, :] == jnp.arange(nK)[:, None]).astype(
+            jnp.float32)  # [nK, O]
+
+        @jax.jit
+        def run(t_shift):
+            def body(c, _):
+                r, Jc, Jp, w = residjac(c)
+                bU, bV, bgc, bgp, bW = obs_blocks(r, Jc, Jp, w)
+                U = jnp.einsum("ko,oij->kij", onehot, bU,
+                               precision=_HI)
+                g_c = jnp.einsum("ko,oi->ki", onehot, bgc, precision=_HI)
+                V = seg_cumsum(bV, pt_starts, pt_ends)
+                g_p = seg_cumsum(bgp, pt_starts, pt_ends)
+                Wb = seg_cumsum(bW, cell_starts, cell_ends).reshape(
+                    nP, nF + 1, 6, 3)[:, :nF]
+                s = (jnp.sum(U) + jnp.sum(V) + jnp.sum(g_c) + jnp.sum(g_p)
+                     + jnp.sum(Wb))
+                return c + s * 1e-12, None
+            out, _ = jax.lax.scan(body, t_shift, None, length=SCAN)
+            return out
+        return run
+
+    if v == "schur":
+        # fixed materialized blocks; chain perturbs Wb
+        r, Jc, Jp, w = residjac(jnp.zeros(3))
+        bU, bV, bgc, bgp, bW = obs_blocks(r, Jc, Jp, w)
+        U0 = jnp.zeros((nK, 6, 6)).at[obs_kf].add(bU)
+        gc0 = jnp.zeros((nK, 6)).at[obs_kf].add(bgc)
+        V0 = jnp.zeros((nP, 3, 3)).at[obs_pt].add(bV)
+        gp0 = jnp.zeros((nP, 3)).at[obs_pt].add(bgp)
+        Wb0 = jnp.zeros((nP, nF + 1, 6, 3)).at[obs_pt, obs_fidx].add(
+            bW)[:, :nF]
+        lam = jnp.float32(1e-4)
+
+        @jax.jit
+        def run(t_shift):
+            def body(c, _):
+                Wb = Wb0 * (1.0 + c * 1e-12)
+                eyeK, eyeP = jnp.eye(6), jnp.eye(3)
+                Ud = U0 + lam * eyeK * jnp.diagonal(
+                    U0, axis1=-2, axis2=-1)[:, None, :]
+                Vd = V0 + lam * eyeP * jnp.diagonal(
+                    V0, axis1=-2, axis2=-1)[:, None, :]
+                Vinv = inv3x3(Vd)
+                Ud_free = jnp.zeros((nF + 1, 6, 6)).at[fidx].add(Ud)[:nF]
+                gc_free = jnp.zeros((nF + 1, 6)).at[fidx].add(gc0)[:nF]
+                Y = jnp.einsum("pkil,plm->pkim", Wb, Vinv, precision=_HI)
+                S = jnp.zeros((nF, 6, nF, 6)).at[
+                    jnp.arange(nF), :, jnp.arange(nF), :].add(Ud_free)
+                S = S - jnp.einsum("pkil,pmjl->kimj", Y, Wb, precision=_HI)
+                rhs = -gc_free + jnp.einsum("pkil,pl->ki", Y, gp0,
+                                            precision=_HI)
+                Sm = S.reshape(nF * 6, nF * 6) + 1e-8 * jnp.eye(nF * 6)
+                dxc = jax.scipy.linalg.cho_solve(
+                    jax.scipy.linalg.cho_factor(Sm), rhs.reshape(-1)
+                ).reshape(nF, 6)
+                dxp = jnp.einsum(
+                    "pij,pj->pi", Vinv,
+                    -(gp0 + jnp.einsum("pkil,ki->pl", Wb, dxc,
+                                       precision=_HI)), precision=_HI)
+                s = jnp.sum(dxc) + jnp.sum(dxp)
+                return c + s * 1e-12, None
+            out, _ = jax.lax.scan(body, jnp.float32(t_shift[0]), None,
+                                  length=SCAN)
+            return jnp.full(3, out * 1e-15)
+        return run
+
+
+def main():
+    fn = make_fn()
+    arg = jnp.zeros(3)
+    y = fn(arg)
+    _ = float(np.asarray(y).ravel()[0])  # compile + lazy relay init
+    for _ in range(2):
+        y = fn(y)
+    _ = float(np.asarray(y).ravel()[0])
+    t0 = time.time()
+    x = fn(arg)
+    for _ in range(2):
+        x = fn(x)
+    _ = float(np.asarray(x).ravel()[0])
+    ta = time.time() - t0
+    t0 = time.time()
+    x = fn(arg)
+    for _ in range(8):
+        x = fn(x)
+    _ = float(np.asarray(x).ravel()[0])
+    tb = time.time() - t0
+    per_iter_ms = (tb - ta) / ((9 - 3) * SCAN) * 1e3
+    rec = {"variant": args.variant, "shape": args.shape,
+           "ms_per_iter": round(per_iter_ms, 3),
+           "ms_per_10iter": round(per_iter_ms * 10, 2)}
+    print(json.dumps(rec), flush=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rec, f)
+
+
+if __name__ == "__main__":
+    main()
