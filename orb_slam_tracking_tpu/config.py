@@ -182,9 +182,17 @@ class InitConfig:
     min_matches: int = 100        # tracking.cpp:105
     min_triangulated: int = 50    # Initializer.cpp:527-549
     min_parallax_deg: float = 1.0
-    # Model selection: RH = SH/(SH+SF) > rh_threshold => homography
-    # (Initializer.cpp:111)
-    rh_threshold: float = 0.5
+    # Model selection: RH = SH/(SH+SF) > rh_threshold => homography.
+    # The reference code uses 0.50 (Initializer.cpp:111, the ORB-SLAM3
+    # convention) and its own comment notes ORB-SLAM2 used 0.40
+    # (Initializer.cpp:110). Default 0.40 here by measured decision
+    # (BASELINE.md round 5): on planar scenes the H/F scores tie near
+    # RH~0.49, 0.50 picks the planar-DEGENERATE F model (init delayed
+    # ~150 frames on the planar stress sequence), while 0.40 prefers H
+    # (init 18 frames earlier, equal ATE) and leaves every non-planar
+    # sequence bit-identical (clean-loop control: RH=0.39, F selected,
+    # same ATE).
+    rh_threshold: float = 0.40
     # χ² thresholds at 95%: 2 dof (H symmetric transfer) / 1 dof (F epipolar)
     chi2_h: float = 5.991
     chi2_f: float = 3.841

@@ -113,7 +113,8 @@ def dump(path, p):
         f.write(np.ascontiguousarray(p["obs_uv"], np.float64).tobytes())
 
 
-def run(p, platform=None, repeats_a=2, repeats_b=6, shape="local20"):
+def run(p, platform=None, repeats_a=2, repeats_b=6, shape="local20",
+        segment_mode="scatter"):
     N_KF, N_PT = len(p["kf_fixed"]), len(p["pts0"])
     import jax
 
@@ -134,6 +135,7 @@ def run(p, platform=None, repeats_a=2, repeats_b=6, shape="local20"):
         kf_fixed=jnp.asarray(p["kf_fixed"]),
         pt_valid=jnp.ones(N_PT, bool),
         K=K, iterations=ITERS, max_free_cams=None,
+        segment_mode=segment_mode,
     )
     R0 = jnp.asarray(p["kf_R0"].astype(np.float32))
     t0 = jnp.asarray(p["kf_t0"].astype(np.float32))
@@ -193,13 +195,16 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
     ap.add_argument("--shape", default="local20", choices=sorted(SHAPES))
+    ap.add_argument("--segment-mode", default="scatter",
+                    choices=["scatter", "sorted"])
     a = ap.parse_args()
     p = make_problem(shape=a.shape)
     if a.dump:
         dump(a.dump, p)
         print(f"wrote {a.dump}", file=sys.stderr)
     if a.run:
-        print(json.dumps(run(p, a.platform, shape=a.shape)))
+        print(json.dumps(run(p, a.platform, shape=a.shape,
+                             segment_mode=a.segment_mode)))
 
 
 if __name__ == "__main__":

@@ -270,3 +270,40 @@ def test_ba_gate_survives_midsolve_rejections():
         assert float(gated.cost) <= float(ref.cost) * 1.05 + 1e-3, (
             f"seed {seed}: gated solve froze mid-descent: "
             f"{float(gated.cost)} vs ungated {float(ref.cost)}")
+
+
+def test_segment_mode_sorted_matches_scatter(rng):
+    """The sorted (one-hot matmul + cumsum-difference) segment-sum
+    formulation must reproduce the scatter formulation: same converged
+    poses/structure to f32-accumulation tolerance, and obs_inlier
+    returned in the ORIGINAL observation order."""
+    nK, nP = 6, 150
+    (pts_gt, kf_Rg, kf_tg, pts0, kf_R0, kf_t0,
+     obs_kf, obs_pt, obs_uv) = _ba_problem(rng)
+    fixed = np.zeros(nK, bool)
+    fixed[0] = True
+    O = len(obs_kf)
+    # shuffle the observation order so the sort actually permutes
+    perm = rng.permutation(O)
+    obs_kf, obs_pt, obs_uv = obs_kf[perm], obs_pt[perm], obs_uv[perm]
+    valid = np.ones(O, bool)
+    valid[::17] = False  # exercise the invalid-obs path through the sort
+    common = (jnp.asarray(obs_kf), jnp.asarray(obs_pt),
+              jnp.asarray(obs_uv), jnp.ones(O), jnp.asarray(valid),
+              jnp.asarray(fixed), jnp.ones(nP, bool), jnp.asarray(K))
+    a = bundle_adjust(jnp.asarray(kf_R0), jnp.asarray(kf_t0),
+                      jnp.asarray(pts0), *common, iterations=12)
+    b = bundle_adjust(jnp.asarray(kf_R0), jnp.asarray(kf_t0),
+                      jnp.asarray(pts0), *common, iterations=12,
+                      segment_mode="sorted")
+    assert float(b.cost) < float(b.cost0) / 10
+    assert abs(float(a.cost) - float(b.cost)) < 1e-3 * abs(float(a.cost))
+    np.testing.assert_allclose(np.asarray(a.kf_t), np.asarray(b.kf_t),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(a.pts), np.asarray(b.pts),
+                               atol=5e-3)
+    # inlier flags come back in input order: invalid slots stay False
+    bi = np.asarray(b.obs_inlier)
+    assert not bi[~valid].any()
+    ai = np.asarray(a.obs_inlier)
+    assert (ai == bi).mean() > 0.99
