@@ -448,6 +448,7 @@ def make_device_insert_keyframe(cam_cfg: CameraConfig, orb_cfg: OrbConfig,
             iterations=tcfg.ba_iterations,
             max_free_cams=tcfg.ba_window,
             early_stop_rel=tcfg.ba_early_stop_rel,
+            segment_mode=tcfg.ba_segment_mode,
         )
         m = apply_ba_result(m, res)
         m = update_normal_and_depth(m, scale, orb_cfg.n_levels)

@@ -753,6 +753,7 @@ class LoopCloser:
             iterations=tcfg.loop_global_ba_iterations,
             max_free_cams=None,
             early_stop_rel=tcfg.ba_early_stop_rel,
+            segment_mode=tcfg.ba_segment_mode,
         )
         return apply_ba_result(m, res), {
             "gba_cost0": float(res.cost0),

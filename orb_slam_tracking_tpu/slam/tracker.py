@@ -1171,6 +1171,7 @@ class Tracker:
             iterations=cfg.tracker.ba_iterations,
             max_free_cams=window,
             early_stop_rel=cfg.tracker.ba_early_stop_rel,
+            segment_mode=cfg.tracker.ba_segment_mode,
         )
         # adopt poses/points and prune observations reclassified as
         # outliers (Frame.hpp:91-93's lifecycle; slam.map.apply_ba_result)

@@ -40,7 +40,8 @@ import jax
 ap = argparse.ArgumentParser()
 ap.add_argument("--variant", required=True,
                 choices=["full", "resid", "blocks", "blocks_flag",
-                         "blocks_mm", "schur"])
+                         "blocks_mm", "blocks_mm2", "blocks_sc2",
+                         "schur", "schur2"])
 ap.add_argument("--cpu", action="store_true")
 ap.add_argument("--shape", default="local64")
 ap.add_argument("--json", default=None)
@@ -125,6 +126,24 @@ def obs_blocks(r, Jc, Jp, w):
     return bU, bV, bgc, bgp, bW
 
 
+def obs_blocks_bcast(r, Jc, Jp, w):
+    """Per-obs outer products as broadcast multiply-adds: the residual
+    dim is 2, so the einsum forms are batched 6x2 @ 2x6 matmuls —
+    pathological MXU tiles (and 6-pass under HIGHEST). Pure f32 VPU
+    elementwise is exact and tiny: O x 72 FLOPs."""
+    Jcw = Jc * w[:, None, None]
+    bU = (Jcw[:, 0, :, None] * Jc[:, 0, None, :]
+          + Jcw[:, 1, :, None] * Jc[:, 1, None, :])
+    Jpw = Jp * w[:, None, None]
+    bV = (Jpw[:, 0, :, None] * Jp[:, 0, None, :]
+          + Jpw[:, 1, :, None] * Jp[:, 1, None, :])
+    bgc = Jcw[:, 0] * r[:, 0, None] + Jcw[:, 1] * r[:, 1, None]
+    bgp = Jpw[:, 0] * r[:, 0, None] + Jpw[:, 1] * r[:, 1, None]
+    bW = (Jcw[:, 0, :, None] * Jp[:, 0, None, :]
+          + Jcw[:, 1, :, None] * Jp[:, 1, None, :])
+    return bU, bV, bgc, bgp, bW
+
+
 def seg_cumsum(vals, starts, ends):
     """Sorted-key segment sum via cumulative-sum differences."""
     flat = vals.reshape(vals.shape[0], -1)
@@ -182,7 +201,29 @@ def make_fn():
             return out
         return run
 
-    if v == "blocks_mm":
+    if v == "blocks_sc2":
+        # scatter segmentation, broadcast outer products: isolates the
+        # outer-product einsum cost inside the scatter formulation
+        @jax.jit
+        def run(t_shift):
+            def body(c, _):
+                r, Jc, Jp, w = residjac(c)
+                bU, bV, bgc, bgp, bW = obs_blocks_bcast(r, Jc, Jp, w)
+                U = jnp.zeros((nK, 6, 6)).at[obs_kf].add(bU)
+                g_c = jnp.zeros((nK, 6)).at[obs_kf].add(bgc)
+                V = jnp.zeros((nP, 3, 3)).at[obs_pt].add(bV)
+                g_p = jnp.zeros((nP, 3)).at[obs_pt].add(bgp)
+                Wb = jnp.zeros((nP, nF + 1, 6, 3)).at[obs_pt, obs_fidx].add(
+                    bW)[:, :nF]
+                s = (jnp.sum(U) + jnp.sum(V) + jnp.sum(g_c) + jnp.sum(g_p)
+                     + jnp.sum(Wb))
+                return c + s * 1e-12, None
+            out, _ = jax.lax.scan(body, t_shift, None, length=SCAN)
+            return out
+        return run
+
+    if v in ("blocks_mm", "blocks_mm2"):
+        outer = obs_blocks if v == "blocks_mm" else obs_blocks_bcast
         onehot = (obs_kf[None, :] == jnp.arange(nK)[:, None]).astype(
             jnp.float32)  # [nK, O]
 
@@ -190,7 +231,7 @@ def make_fn():
         def run(t_shift):
             def body(c, _):
                 r, Jc, Jp, w = residjac(c)
-                bU, bV, bgc, bgp, bW = obs_blocks(r, Jc, Jp, w)
+                bU, bV, bgc, bgp, bW = outer(r, Jc, Jp, w)
                 U = jnp.einsum("ko,oij->kij", onehot, bU,
                                precision=_HI)
                 g_c = jnp.einsum("ko,oi->ki", onehot, bgc, precision=_HI)
@@ -203,6 +244,57 @@ def make_fn():
                 return c + s * 1e-12, None
             out, _ = jax.lax.scan(body, t_shift, None, length=SCAN)
             return out
+        return run
+
+    if v == "schur2":
+        # schur with the tiny-contraction einsums (Y: contraction dim 3;
+        # backsub) as unrolled broadcast multiply-adds, isolating whether
+        # the batched-tiny-matmul lowering is the cost; the big S
+        # contraction (over P*3) stays a real MXU matmul
+        r, Jc, Jp, w = residjac(jnp.zeros(3))
+        bU, bV, bgc, bgp, bW = obs_blocks_bcast(r, Jc, Jp, w)
+        U0 = jnp.zeros((nK, 6, 6)).at[obs_kf].add(bU)
+        gc0 = jnp.zeros((nK, 6)).at[obs_kf].add(bgc)
+        V0 = jnp.zeros((nP, 3, 3)).at[obs_pt].add(bV)
+        gp0 = jnp.zeros((nP, 3)).at[obs_pt].add(bgp)
+        Wb0 = jnp.zeros((nP, nF + 1, 6, 3)).at[obs_pt, obs_fidx].add(
+            bW)[:, :nF]
+        lam = jnp.float32(1e-4)
+
+        @jax.jit
+        def run(t_shift):
+            def body(c, _):
+                Wb = Wb0 * (1.0 + c * 1e-12)
+                eyeK, eyeP = jnp.eye(6), jnp.eye(3)
+                Ud = U0 + lam * eyeK * jnp.diagonal(
+                    U0, axis1=-2, axis2=-1)[:, None, :]
+                Vd = V0 + lam * eyeP * jnp.diagonal(
+                    V0, axis1=-2, axis2=-1)[:, None, :]
+                Vinv = inv3x3(Vd)
+                Ud_free = jnp.zeros((nF + 1, 6, 6)).at[fidx].add(Ud)[:nF]
+                gc_free = jnp.zeros((nF + 1, 6)).at[fidx].add(gc0)[:nF]
+                Y = (Wb[..., 0:1] * Vinv[:, None, None, 0, :]
+                     + Wb[..., 1:2] * Vinv[:, None, None, 1, :]
+                     + Wb[..., 2:3] * Vinv[:, None, None, 2, :])
+                S = jnp.zeros((nF, 6, nF, 6)).at[
+                    jnp.arange(nF), :, jnp.arange(nF), :].add(Ud_free)
+                S = S - jnp.einsum("pkil,pmjl->kimj", Y, Wb, precision=_HI)
+                rhs = -gc_free + jnp.einsum("pkil,pl->ki", Y, gp0,
+                                            precision=_HI)
+                Sm = S.reshape(nF * 6, nF * 6) + 1e-8 * jnp.eye(nF * 6)
+                dxc = jax.scipy.linalg.cho_solve(
+                    jax.scipy.linalg.cho_factor(Sm), rhs.reshape(-1)
+                ).reshape(nF, 6)
+                Wdx = jnp.einsum("pkil,ki->pl", Wb, dxc, precision=_HI)
+                gsum = gp0 + Wdx
+                dxp = -(Vinv[:, :, 0] * gsum[:, 0:1]
+                        + Vinv[:, :, 1] * gsum[:, 1:2]
+                        + Vinv[:, :, 2] * gsum[:, 2:3])
+                s = jnp.sum(dxc) + jnp.sum(dxp)
+                return c + s * 1e-12, None
+            out, _ = jax.lax.scan(body, jnp.float32(t_shift[0]), None,
+                                  length=SCAN)
+            return jnp.full(3, out * 1e-15)
         return run
 
     if v == "schur":
