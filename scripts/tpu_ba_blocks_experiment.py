@@ -41,6 +41,7 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--variant", required=True,
                 choices=["full", "resid", "blocks", "blocks_flag",
                          "blocks_mm", "blocks_mm2", "blocks_sc2",
+                         "blocks_uq", "useg_only", "vseg_only",
                          "schur", "schur2"])
 ap.add_argument("--cpu", action="store_true")
 ap.add_argument("--shape", default="local64")
@@ -215,6 +216,69 @@ def make_fn():
                 g_p = jnp.zeros((nP, 3)).at[obs_pt].add(bgp)
                 Wb = jnp.zeros((nP, nF + 1, 6, 3)).at[obs_pt, obs_fidx].add(
                     bW)[:, :nF]
+                s = (jnp.sum(U) + jnp.sum(V) + jnp.sum(g_c) + jnp.sum(g_p)
+                     + jnp.sum(Wb))
+                return c + s * 1e-12, None
+            out, _ = jax.lax.scan(body, t_shift, None, length=SCAN)
+            return out
+        return run
+
+    if v in ("useg_only", "vseg_only"):
+        # micro-bisect of blocks_uq: camera-axis one-hot matmuls alone
+        # vs point-axis unique scatters alone
+        onehot = (obs_kf[None, :] == jnp.arange(nK)[:, None]).astype(
+            jnp.float32)
+
+        @jax.jit
+        def run(t_shift):
+            def body(c, _):
+                r, Jc, Jp, w = residjac(c)
+                bU, bV, bgc, bgp, bW = obs_blocks_bcast(r, Jc, Jp, w)
+                if v == "useg_only":
+                    U = jnp.einsum("ko,oij->kij", onehot, bU,
+                                   precision=_HI)
+                    g_c = jnp.einsum("ko,oi->ki", onehot, bgc,
+                                     precision=_HI)
+                    s = jnp.sum(U) + jnp.sum(g_c) + jnp.sum(bV)
+                else:
+                    V = jnp.zeros((nP, nK, 3, 3)).at[obs_pt, obs_kf].add(
+                        bV, unique_indices=True, mode="drop").sum(1)
+                    g_p = jnp.zeros((nP, nK, 3)).at[obs_pt, obs_kf].add(
+                        bgp, unique_indices=True, mode="drop").sum(1)
+                    Wb = jnp.zeros((nP, nF, 6, 3)).at[
+                        obs_pt, obs_fidx].add(
+                        bW, unique_indices=True, mode="drop")
+                    s = jnp.sum(V) + jnp.sum(g_p) + jnp.sum(Wb) + jnp.sum(bU)
+                return c + s * 1e-12, None
+            out, _ = jax.lax.scan(body, t_shift, None, length=SCAN)
+            return out
+        return run
+
+    if v == "blocks_uq":
+        # UNIQUE-index scatters: (pt, kf) is unique per observation, so
+        # V/g_p/Wb can scatter into a dense [nP, cam] layout with
+        # unique_indices=True (no collisions -> XLA can vectorize) and
+        # then reduce the small camera axis densely. U/g_c use the
+        # one-hot matmul (camera-axis targets are tiny). Wb scatters by
+        # (pt, fidx) straight into the [nP, nF] window — dump-slot
+        # (fixed-cam) updates land out of bounds and are dropped, and
+        # the kept indices are unique because (pt, kf) is.
+        onehot = (obs_kf[None, :] == jnp.arange(nK)[:, None]).astype(
+            jnp.float32)
+
+        @jax.jit
+        def run(t_shift):
+            def body(c, _):
+                r, Jc, Jp, w = residjac(c)
+                bU, bV, bgc, bgp, bW = obs_blocks_bcast(r, Jc, Jp, w)
+                U = jnp.einsum("ko,oij->kij", onehot, bU, precision=_HI)
+                g_c = jnp.einsum("ko,oi->ki", onehot, bgc, precision=_HI)
+                V = jnp.zeros((nP, nK, 3, 3)).at[obs_pt, obs_kf].add(
+                    bV, unique_indices=True, mode="drop").sum(1)
+                g_p = jnp.zeros((nP, nK, 3)).at[obs_pt, obs_kf].add(
+                    bgp, unique_indices=True, mode="drop").sum(1)
+                Wb = jnp.zeros((nP, nF, 6, 3)).at[obs_pt, obs_fidx].add(
+                    bW, unique_indices=True, mode="drop")
                 s = (jnp.sum(U) + jnp.sum(V) + jnp.sum(g_c) + jnp.sum(g_p)
                      + jnp.sum(Wb))
                 return c + s * 1e-12, None
