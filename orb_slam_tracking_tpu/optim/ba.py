@@ -229,6 +229,8 @@ def bundle_adjust(
             key_s, jnp.arange(nP * (nF + 1)))
         cell_ends = jnp.concatenate(
             [cell_starts[1:], jnp.full((1,), nO, cell_starts.dtype)])
+    if segment_mode in ("unique", "sorted"):
+        # built AFTER any permutation so it matches the obs order in use
         cam_onehot = (obs_kf[None, :] == jnp.arange(nK)[:, None]
                       ).astype(jnp.float32)  # [nK, O]
     obs_fidx = fidx[obs_kf]
@@ -248,13 +250,40 @@ def bundle_adjust(
         chi2 = jnp.sum(r * r, axis=-1) * w_info
         w = huber_weight(chi2, _CHI2_MONO) * w_info  # [O]
 
-        # blocks (per-observation outer products, then segment sums)
-        bU = jnp.einsum("ori,o,orj->oij", Jc, w, Jc, precision=_HI)
-        bV = jnp.einsum("ori,o,orj->oij", Jp, w, Jp, precision=_HI)
-        bgc = jnp.einsum("ori,o,or->oi", Jc, w, r, precision=_HI)
-        bgp = jnp.einsum("ori,o,or->oi", Jp, w, r, precision=_HI)
-        bW = jnp.einsum("ori,o,orj->oij", Jc, w, Jp, precision=_HI)
-        if segment_mode == "sorted":
+        # blocks: per-observation outer products as broadcast
+        # multiply-adds — the residual dim is 2, so einsum forms are
+        # batched 6x2 @ 2x6 matmuls whose tiny tiles lower pathologically
+        # on the MXU (measured r5, scripts/tpu_ba_blocks_experiment.py:
+        # the broadcast form cut the Schur-algebra stage 3.72 -> 1.78
+        # ms/iter at local64); pure f32 VPU elementwise is exact
+        Jcw = Jc * w[:, None, None]
+        Jpw = Jp * w[:, None, None]
+        bU = (Jcw[:, 0, :, None] * Jc[:, 0, None, :]
+              + Jcw[:, 1, :, None] * Jc[:, 1, None, :])
+        bV = (Jpw[:, 0, :, None] * Jp[:, 0, None, :]
+              + Jpw[:, 1, :, None] * Jp[:, 1, None, :])
+        bgc = Jcw[:, 0] * r[:, 0, None] + Jcw[:, 1] * r[:, 1, None]
+        bgp = Jpw[:, 0] * r[:, 0, None] + Jpw[:, 1] * r[:, 1, None]
+        bW = (Jcw[:, 0, :, None] * Jp[:, 0, None, :]
+              + Jcw[:, 1, :, None] * Jp[:, 1, None, :])
+        if segment_mode == "unique":
+            # camera-axis sums ride the MXU as one-hot matmuls (nK
+            # targets); point-axis sums exploit that (point, keyframe)
+            # is UNIQUE per observation — scatter into a dense
+            # [nP, cam] layout with unique_indices (no collisions, XLA
+            # vectorizes) and reduce the small camera axis densely.
+            # Wb scatters by (point, free-rank) straight into the
+            # [nP, nF] window: dump-slot (fixed/out-of-window) updates
+            # land out of bounds and drop.
+            U = jnp.einsum("ko,oij->kij", cam_onehot, bU, precision=_HI)
+            g_c = jnp.einsum("ko,oi->ki", cam_onehot, bgc, precision=_HI)
+            V = jnp.zeros((nP, nK, 3, 3)).at[obs_pt, obs_kf].add(
+                bV, unique_indices=True, mode="drop").sum(1)
+            g_p = jnp.zeros((nP, nK, 3)).at[obs_pt, obs_kf].add(
+                bgp, unique_indices=True, mode="drop").sum(1)
+            Wb = jnp.zeros((nP, nF, 6, 3)).at[obs_pt, obs_fidx].add(
+                bW, unique_indices=True, mode="drop")
+        elif segment_mode == "sorted":
             U = jnp.einsum("ko,oij->kij", cam_onehot, bU, precision=_HI)
             g_c = jnp.einsum("ko,oi->ki", cam_onehot, bgc, precision=_HI)
             V = _seg_cumsum(bV, pt_starts, pt_ends)
@@ -285,7 +314,12 @@ def bundle_adjust(
             jnp.where(in_window[:, None], g_c, 0.0)
         )[:nF]
 
-        Y = jnp.einsum("pkil,plm->pkim", Wb, Vinv, precision=_HEAVY)  # [P, nF, 6, 3]
+        # Y = Wb @ Vinv per point: contraction dim 3 — unrolled
+        # broadcast multiply-adds instead of a batched tiny matmul
+        # (pathological MXU tiles; measured r5)
+        Y = (Wb[..., 0:1] * Vinv[:, None, None, 0, :]
+             + Wb[..., 1:2] * Vinv[:, None, None, 1, :]
+             + Wb[..., 2:3] * Vinv[:, None, None, 2, :])  # [P, nF, 6, 3]
         S = jnp.zeros((nF, 6, nF, 6)).at[
             jnp.arange(nF), :, jnp.arange(nF), :
         ].add(Ud_free)
@@ -312,12 +346,14 @@ def bundle_adjust(
             dxc_free[jnp.clip(free_rank, 0, nF - 1)],
             0.0,
         )
-        # back-substitute points
-        dxp = jnp.einsum(
-            "pij,pj->pi", Vinv,
-            -(g_p + jnp.einsum("pkil,ki->pl", Wb, dxc_free, precision=_HEAVY)),
-            precision=_HEAVY,
-        )
+        # back-substitute points (the W^T dxc contraction over [nF, 6]
+        # is real work and stays an einsum; the 3x3 Vinv application is
+        # a broadcast like Y above)
+        gsum = g_p + jnp.einsum("pkil,ki->pl", Wb, dxc_free,
+                                precision=_HEAVY)
+        dxp = -(Vinv[:, :, 0] * gsum[:, 0:1]
+                + Vinv[:, :, 1] * gsum[:, 1:2]
+                + Vinv[:, :, 2] * gsum[:, 2:3])
         dxp = jnp.where(pt_valid[:, None], dxp, 0.0)
 
         dR, dt = se3.se3_exp(dxc)

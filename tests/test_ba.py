@@ -150,7 +150,10 @@ def test_bounded_free_cam_window_matches_full(rng):
         np.testing.assert_allclose(
             np.asarray(bounded.pts), np.asarray(full.pts), atol=1e-5
         )
-        assert abs(float(bounded.cost) - float(full.cost)) < 1e-3
+        # relative: f32 accumulation order differs between the bounded
+        # and full programs (different Wb shapes reassociate the sums)
+        assert (abs(float(bounded.cost) - float(full.cost))
+                < 1e-5 * abs(float(full.cost)))
 
 
 def test_overflow_free_cams_demoted_to_fixed(rng):
@@ -307,3 +310,57 @@ def test_segment_mode_sorted_matches_scatter(rng):
     assert not bi[~valid].any()
     ai = np.asarray(a.obs_inlier)
     assert (ai == bi).mean() > 0.99
+
+
+def test_segment_mode_unique_matches_scatter(rng):
+    """The unique-index (one-hot matmul + dense-reduce) formulation must
+    reproduce the scatter formulation. (point, keyframe) pairs are
+    unique per observation by map construction — the invariant this
+    mode rests on."""
+    nK, nP = 6, 150
+    (pts_gt, kf_Rg, kf_tg, pts0, kf_R0, kf_t0,
+     obs_kf, obs_pt, obs_uv) = _ba_problem(rng)
+    fixed = np.zeros(nK, bool)
+    fixed[0] = True
+    O = len(obs_kf)
+    valid = np.ones(O, bool)
+    valid[::13] = False
+    common = (jnp.asarray(obs_kf), jnp.asarray(obs_pt),
+              jnp.asarray(obs_uv), jnp.ones(O), jnp.asarray(valid),
+              jnp.asarray(fixed), jnp.ones(nP, bool), jnp.asarray(K))
+    a = bundle_adjust(jnp.asarray(kf_R0), jnp.asarray(kf_t0),
+                      jnp.asarray(pts0), *common, iterations=12)
+    b = bundle_adjust(jnp.asarray(kf_R0), jnp.asarray(kf_t0),
+                      jnp.asarray(pts0), *common, iterations=12,
+                      segment_mode="unique")
+    assert float(b.cost) < float(b.cost0) / 10
+    assert abs(float(a.cost) - float(b.cost)) < 1e-3 * abs(float(a.cost))
+    np.testing.assert_allclose(np.asarray(a.kf_t), np.asarray(b.kf_t),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(a.pts), np.asarray(b.pts),
+                               atol=5e-3)
+    assert (np.asarray(a.obs_inlier) == np.asarray(b.obs_inlier)).mean() > 0.99
+
+
+def test_segment_mode_unique_bounded_window(rng):
+    """unique mode with a bounded free-camera window: out-of-window
+    couplings must drop exactly as the scatter path's dump slot drops
+    them."""
+    nK, nP = 6, 150
+    (_, _, _, pts0, kf_R0, kf_t0, obs_kf, obs_pt, obs_uv) = _ba_problem(rng)
+    fixed = np.zeros(nK, bool)
+    fixed[0] = True
+    O = len(obs_kf)
+    common = (jnp.asarray(obs_kf), jnp.asarray(obs_pt),
+              jnp.asarray(obs_uv), jnp.ones(O), jnp.ones(O, bool),
+              jnp.asarray(fixed), jnp.ones(nP, bool), jnp.asarray(K))
+    a = bundle_adjust(jnp.asarray(kf_R0), jnp.asarray(kf_t0),
+                      jnp.asarray(pts0), *common, iterations=8,
+                      max_free_cams=3)
+    b = bundle_adjust(jnp.asarray(kf_R0), jnp.asarray(kf_t0),
+                      jnp.asarray(pts0), *common, iterations=8,
+                      max_free_cams=3, segment_mode="unique")
+    np.testing.assert_allclose(np.asarray(a.kf_t), np.asarray(b.kf_t),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(a.pts), np.asarray(b.pts),
+                               atol=5e-3)
