@@ -103,26 +103,17 @@ def _obs_residuals(kf_R, kf_t, pts, obs_kf, obs_pt, obs_uv, fx, fy, cx, cy):
     return r, Jc, Jp, z
 
 
-def _seg_cumsum(vals: jnp.ndarray, starts: jnp.ndarray,
-                ends: jnp.ndarray) -> jnp.ndarray:
-    """Segment sum over a SORTED-key observation axis via cumulative-sum
-    differences: seg[i] = csum[ends[i]-1] - csum[starts[i]-1].
-
-    The TPU-native replacement for a colliding ``.at[].add`` scatter —
-    XLA lowers multi-collision scatter-adds to a serialized update loop,
-    while cumsum is a log-depth scan and the boundary reads are plain
-    gathers. f32 prefix cancellation bounds the relative error at
-    ~1e-4 of the largest segment (measured 5e-5 on the 64-KF bench
-    problem) — on the Hessian/gradient blocks only; the residual path
-    and the accept/reject cost stay exact.
-    """
-    flat = vals.reshape(vals.shape[0], -1)
-    csum = jnp.cumsum(flat, axis=0)
-    top = csum[jnp.maximum(ends - 1, 0)]
-    bot = jnp.where((starts > 0)[:, None],
-                    csum[jnp.maximum(starts - 1, 0)], 0.0)
-    out = jnp.where((ends > starts)[:, None], top - bot, 0.0)
-    return out.reshape((starts.shape[0],) + vals.shape[1:])
+def _point_windows(vals: jnp.ndarray, starts: jnp.ndarray, m_pad: int,
+                   fill) -> jnp.ndarray:
+    """[O] -> [S, m_pad] contiguous windows starting at ``starts``
+    (overruns read ``fill``). A vmapped dynamic_slice = one gather with
+    contiguous slice windows — tile-friendly on TPU, unlike per-row
+    gathers."""
+    padded = jnp.concatenate(
+        [vals, jnp.full((m_pad,), fill, vals.dtype)])
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice(padded, (s,), (m_pad,))
+    )(starts)
 
 
 @partial(jax.jit, static_argnames=("iterations", "max_free_cams",
@@ -212,28 +203,58 @@ def bundle_adjust(
     if segment_mode == "sorted":
         # one sort + boundary search per SOLVE (the obs layout is fixed
         # across LM iterations); invalid observations sort normally and
-        # contribute zero through w_info
+        # contribute zero through w_info. Dump entries (fidx == nF:
+        # fixed/out-of-window cameras) sort LAST within each point.
         key = obs_pt * (nF + 1) + fidx[obs_kf]
         perm = jnp.argsort(key)
         obs_kf = obs_kf[perm]
         obs_pt = obs_pt[perm]
         obs_uv = obs_uv[perm]
         w_info = w_info[perm]
-        key_s = key[perm]
         opt_s = obs_pt
         nO = obs_kf.shape[0]
         pt_starts = jnp.searchsorted(opt_s, jnp.arange(nP))
         pt_ends = jnp.concatenate(
             [pt_starts[1:], jnp.full((1,), nO, pt_starts.dtype)])
-        cell_starts = jnp.searchsorted(
-            key_s, jnp.arange(nP * (nF + 1)))
-        cell_ends = jnp.concatenate(
-            [cell_starts[1:], jnp.full((1,), nO, cell_starts.dtype)])
+        # per-point padded WINDOW layout: with the sort, each point's
+        # observations are CONTIGUOUS, so a vmapped dynamic_slice reads
+        # [M] consecutive rows per point — tile-friendly contiguous
+        # slices, NOT per-row gathers (a [nP*nF]-cell row-gather touches
+        # a full VMEM tile per 72-byte row: measured ~10 ms/iter of
+        # traffic amplification at local64, the dominant residue of the
+        # cumsum formulation this replaces). M = nK is exact (a point
+        # has at most one observation per camera).
+        M_pad = nK
+        win_iota = jnp.arange(M_pad)
+        win_valid = (pt_starts[:, None] + win_iota[None, :]
+                     < pt_ends[:, None])                      # [nP, M]
     if segment_mode in ("unique", "sorted"):
         # built AFTER any permutation so it matches the obs order in use
         cam_onehot = (obs_kf[None, :] == jnp.arange(nK)[:, None]
                       ).astype(jnp.float32)  # [nK, O]
     obs_fidx = fidx[obs_kf]
+    if segment_mode == "sorted":
+        # slot -> free-camera one-hot, [nP, M, nF] bf16 (exact for
+        # one-hots); dump slots (fidx == nF) and out-of-window slots
+        # map to all-zero rows
+        fidx_pad = _point_windows(
+            obs_fidx, pt_starts, M_pad, fill=nF)              # [nP, M]
+        slot_oh = ((fidx_pad[..., None]
+                    == jnp.arange(nF)[None, None, :])
+                   & win_valid[..., None]).astype(jnp.bfloat16)
+
+    def _point_windows_vals(vals):
+        """[O, ...] -> [nP, M_pad, ...] contiguous per-point windows
+        (zero-padded past each point's degree)."""
+        flat = vals.reshape(nO, -1)
+        padded = jnp.concatenate(
+            [flat, jnp.zeros((M_pad, flat.shape[1]), flat.dtype)], 0)
+        win = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(
+                padded, (s, 0), (M_pad, flat.shape[1]))
+        )(pt_starts)                                          # [nP, M, D]
+        win = win * win_valid[..., None].astype(flat.dtype)
+        return win.reshape((nP, M_pad) + vals.shape[1:])
 
     def robust_cost(R, t, X):
         r, _, _, z = _obs_residuals(R, t, X, obs_kf, obs_pt, obs_uv, fx, fy, cx, cy)
@@ -286,10 +307,30 @@ def bundle_adjust(
         elif segment_mode == "sorted":
             U = jnp.einsum("ko,oij->kij", cam_onehot, bU, precision=_HI)
             g_c = jnp.einsum("ko,oi->ki", cam_onehot, bgc, precision=_HI)
-            V = _seg_cumsum(bV, pt_starts, pt_ends)
-            g_p = _seg_cumsum(bgp, pt_starts, pt_ends)
-            Wb = _seg_cumsum(bW, cell_starts, cell_ends).reshape(
-                nP, nF + 1, 6, 3)[:, :nF]
+            # point-axis sums over the contiguous padded windows: exact
+            # f32 (no prefix cancellation), no scatters, no row-gathers
+            V = _point_windows_vals(bV).sum(1)
+            g_p = _point_windows_vals(bgp).sum(1)
+            # coupling: slot->free-camera one-hot matmul with REAL tile
+            # shapes ([M, nF] x [M, 18] per point), replacing both the
+            # serialized scatter and the [nP*nF]-cell gather
+            bW_pad = _point_windows_vals(bW).reshape(nP, M_pad, 18)
+            # exact bf16 hi/lo split (ops/pallas_kernels.py BRIEF
+            # pattern): the one-hot side is bf16-exact, the value side
+            # splits into two bf16 planes whose f32 accumulations add
+            # back losslessly — two single-pass matmuls instead of a
+            # 6-pass HIGHEST emulation, and no f32 truncation of the
+            # coupling (the r4 precision finding)
+            hi = bW_pad.astype(jnp.bfloat16)
+            lo = (bW_pad - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dn = (((1,), (1,)), ((0,), (0,)))
+            Wb = (jax.lax.dot_general(
+                      slot_oh, hi, dimension_numbers=dn,
+                      preferred_element_type=jnp.float32)
+                  + jax.lax.dot_general(
+                      slot_oh, lo, dimension_numbers=dn,
+                      preferred_element_type=jnp.float32)
+                  ).reshape(nP, nF, 6, 3)
         else:
             U = jnp.zeros((nK, 6, 6)).at[obs_kf].add(bU)
             V = jnp.zeros((nP, 3, 3)).at[obs_pt].add(bV)
