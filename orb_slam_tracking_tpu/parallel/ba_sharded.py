@@ -165,27 +165,39 @@ def bundle_adjust_sharded(
             chi2 = jnp.sum(r * r, axis=-1) * w_info
             w = huber_weight(chi2, _CHI2_MONO) * w_info
 
-            V = jnp.zeros((nP_local, 3, 3)).at[obs_pt].add(
-                jnp.einsum("ori,o,orj->oij", Jp, w, Jp)
-            )
-            g_p = jnp.zeros((nP_local, 3)).at[obs_pt].add(
-                jnp.einsum("ori,o,or->oi", Jp, w, r)
-            )
-            U_local = jnp.zeros((nK, 6, 6)).at[obs_kf].add(
-                jnp.einsum("ori,o,orj->oij", Jc, w, Jc)
-            )
-            g_c_local = jnp.zeros((nK, 6)).at[obs_kf].add(
-                jnp.einsum("ori,o,or->oi", Jc, w, r)
-            )
+            # per-obs outer products as broadcast multiply-adds (exact;
+            # the einsum forms are batched 6x2 @ 2x6 matmuls whose tiny
+            # tiles lower pathologically — optim/ba.py, measured r5).
+            # NOTE: the segment sums here are still `.at[].add` scatters,
+            # which the r5 single-chip isolation measured as the dominant
+            # cost at the 64-KF scale; the sorted point-window
+            # restructure (optim/ba.py segment_mode="sorted") is the
+            # port target for real multi-chip deployments — it needs
+            # bucket_observations to emit per-shard point-sorted order.
+            Jcw = Jc * w[:, None, None]
+            Jpw = Jp * w[:, None, None]
+            bU = (Jcw[:, 0, :, None] * Jc[:, 0, None, :]
+                  + Jcw[:, 1, :, None] * Jc[:, 1, None, :])
+            bV = (Jpw[:, 0, :, None] * Jp[:, 0, None, :]
+                  + Jpw[:, 1, :, None] * Jp[:, 1, None, :])
+            bgc = Jcw[:, 0] * r[:, 0, None] + Jcw[:, 1] * r[:, 1, None]
+            bgp = Jpw[:, 0] * r[:, 0, None] + Jpw[:, 1] * r[:, 1, None]
+            bW = (Jcw[:, 0, :, None] * Jp[:, 0, None, :]
+                  + Jcw[:, 1, :, None] * Jp[:, 1, None, :])
+            V = jnp.zeros((nP_local, 3, 3)).at[obs_pt].add(bV)
+            g_p = jnp.zeros((nP_local, 3)).at[obs_pt].add(bgp)
+            U_local = jnp.zeros((nK, 6, 6)).at[obs_kf].add(bU)
+            g_c_local = jnp.zeros((nK, 6)).at[obs_kf].add(bgc)
             Wb = jnp.zeros((nP_local, nF + 1, 6, 3)).at[obs_pt, obs_fidx].add(
-                jnp.einsum("ori,o,orj->oij", Jc, w, Jp)
-            )[:, :nF]
+                bW)[:, :nF]
 
             eyeP = jnp.eye(3)
             Vd = V + lam * eyeP * jnp.diagonal(V, axis1=-2, axis2=-1)[:, None, :]
             Vd = jnp.where(pt_valid[:, None, None], Vd, jnp.eye(3))
             Vinv = inv3x3(Vd)
-            Y = jnp.einsum("pkil,plm->pkim", Wb, Vinv)
+            Y = (Wb[..., 0:1] * Vinv[:, None, None, 0, :]
+                 + Wb[..., 1:2] * Vinv[:, None, None, 1, :]
+                 + Wb[..., 2:3] * Vinv[:, None, None, 2, :])
             S_local = -jnp.einsum("pkil,pmjl->kimj", Y, Wb)
             rhs_local = jnp.einsum("pkil,pl->ki", Y, g_p)
 
@@ -220,10 +232,10 @@ def bundle_adjust_sharded(
                 0.0,
             )
             # local point back-substitution
-            dxp = jnp.einsum(
-                "pij,pj->pi", Vinv,
-                -(g_p + jnp.einsum("pkil,ki->pl", Wb, dxc_free)),
-            )
+            gsum = g_p + jnp.einsum("pkil,ki->pl", Wb, dxc_free)
+            dxp = -(Vinv[:, :, 0] * gsum[:, 0:1]
+                    + Vinv[:, :, 1] * gsum[:, 1:2]
+                    + Vinv[:, :, 2] * gsum[:, 2:3])
             dxp = jnp.where(pt_valid[:, None], dxp, 0.0)
 
             dR, dt = se3.se3_exp(dxc)
