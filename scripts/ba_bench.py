@@ -196,7 +196,7 @@ def main():
                     help="force jax platform (e.g. cpu)")
     ap.add_argument("--shape", default="local20", choices=sorted(SHAPES))
     ap.add_argument("--segment-mode", default="scatter",
-                    choices=["scatter", "sorted", "unique"])
+                    choices=["scatter", "sorted", "unique", "factored"])
     a = ap.parse_args()
     p = make_problem(shape=a.shape)
     if a.dump:

@@ -342,6 +342,33 @@ def test_segment_mode_unique_matches_scatter(rng):
     assert (np.asarray(a.obs_inlier) == np.asarray(b.obs_inlier)).mean() > 0.99
 
 
+def test_segment_mode_factored_matches_scatter(rng):
+    """Factored point one-hot segmentation (two matmul stages) must
+    match the scatter formulation, including with nP not a multiple of
+    the 128 factor base."""
+    nK, nP = 6, 150  # 150 deliberately not a multiple of 128
+    (_, _, _, pts0, kf_R0, kf_t0, obs_kf, obs_pt, obs_uv) = _ba_problem(rng)
+    fixed = np.zeros(nK, bool)
+    fixed[0] = True
+    O = len(obs_kf)
+    valid = np.ones(O, bool)
+    valid[::11] = False
+    common = (jnp.asarray(obs_kf), jnp.asarray(obs_pt),
+              jnp.asarray(obs_uv), jnp.ones(O), jnp.asarray(valid),
+              jnp.asarray(fixed), jnp.ones(nP, bool), jnp.asarray(K))
+    a = bundle_adjust(jnp.asarray(kf_R0), jnp.asarray(kf_t0),
+                      jnp.asarray(pts0), *common, iterations=12)
+    b = bundle_adjust(jnp.asarray(kf_R0), jnp.asarray(kf_t0),
+                      jnp.asarray(pts0), *common, iterations=12,
+                      segment_mode="factored")
+    assert float(b.cost) < float(b.cost0) / 10
+    assert abs(float(a.cost) - float(b.cost)) < 1e-3 * abs(float(a.cost))
+    np.testing.assert_allclose(np.asarray(a.kf_t), np.asarray(b.kf_t),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(a.pts), np.asarray(b.pts),
+                               atol=5e-3)
+
+
 def test_segment_mode_unique_bounded_window(rng):
     """unique mode with a bounded free-camera window: out-of-window
     couplings must drop exactly as the scatter path's dump slot drops
