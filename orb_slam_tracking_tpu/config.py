@@ -264,12 +264,12 @@ class TrackerConfig:
     # map is warm across keyframe inserts, so most local-BA solves
     # converge in 2-4 of the ba_iterations budget. 0.0 disables.
     ba_early_stop_rel: float = 1e-4
-    # BA segment-sum formulation ("scatter" | "sorted"): how the
-    # Hessian/gradient blocks accumulate over the observation axis —
-    # see optim/ba.bundle_adjust(segment_mode=...). "sorted" replaces
-    # the colliding scatter-adds (which serialize on TPU) with one
-    # per-solve sort + one-hot MXU matmuls / cumsum-difference sums.
-    ba_segment_mode: str = "scatter"
+    # BA segment-sum formulation — see optim/ba.bundle_adjust
+    # (segment_mode=...). "auto" resolves to the Kronecker-factored
+    # one-hot matmul build on TPU (colliding scatter-adds serialize
+    # there: 75% of the LM iteration at 64 KF, BASELINE.md r5) and to
+    # plain scatter on CPU (where scatter is fastest).
+    ba_segment_mode: str = "auto"
     # --- map lifecycle (ORB-SLAM LocalMapping semantics) ---
     # Covisibility-graph triangulation: new points are triangulated against
     # the best-covisible keyframes (CreateNewMapPoints), not just the

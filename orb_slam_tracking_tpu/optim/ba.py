@@ -133,7 +133,7 @@ def bundle_adjust(
     iterations: int = 10,
     max_free_cams: int | None = None,
     early_stop_rel: float = 0.0,
-    segment_mode: str = "scatter",
+    segment_mode: str = "auto",
 ) -> BAResult:
     """Joint pose+structure LM over the observation list.
 
@@ -175,15 +175,29 @@ def bundle_adjust(
     0.0 = disabled, bit-identical to the ungated program.
 
     segment_mode: how the per-camera/per-point blocks accumulate over
-    the observation axis.
+    the observation axis (all modes converge to the same optimum; the
+    r5 on-chip A/B at the 64-KF scale is in BASELINE.md).
+    - "auto" (default): "factored" on TPU, "scatter" elsewhere —
+      resolved at trace time from ``jax.default_backend()``. Colliding
+      scatter-adds serialize on TPU (measured: 75% of the LM iteration
+      at 64 KF) but are the fastest formulation on CPU.
     - "scatter": ``.at[].add`` segment sums (the original formulation).
-    - "sorted": sort observations by (point, free-camera) once per
-      solve, then build every block with one-hot MXU matmuls (camera
-      axis — nK targets) and cumsum-difference segment sums (point and
-      coupling axes). Colliding scatter-adds serialize on TPU; the sort
-      and boundary searches amortize over all LM iterations.
+    - "factored": camera-axis sums as one-hot MXU matmuls; point-axis
+      sums via a Kronecker-factored point one-hot in two exact f32
+      matmul stages (no sorting, no gathers). On-chip local64:
+      49.9 vs 35.7 iters/s, identical optimum.
+    - "sorted": per-solve sort + per-point contiguous-window reduces +
+      bf16 hi/lo one-hot coupling matmul. Measured SLOWER on chip than
+      scatter at local64 (vmapped dynamic_slice lowering) and its
+      coupling split costs ~1e-5 relative on Wb — kept for study.
+    - "unique": unique-index scatters into a dense [nP, nK] layout.
+      Measured slower than colliding scatters on chip — XLA TPU
+      serializes scatter regardless of uniqueness flags. Kept for study.
     """
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    if segment_mode == "auto":
+        segment_mode = ("factored" if jax.default_backend() == "tpu"
+                        else "scatter")
     nK = kf_R.shape[0]
     nP = pts.shape[0]
     nF = nK if max_free_cams is None else min(max_free_cams, nK)

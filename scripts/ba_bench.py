@@ -114,7 +114,7 @@ def dump(path, p):
 
 
 def run(p, platform=None, repeats_a=2, repeats_b=6, shape="local20",
-        segment_mode="scatter"):
+        segment_mode="auto"):
     N_KF, N_PT = len(p["kf_fixed"]), len(p["pts0"])
     import jax
 
@@ -195,8 +195,8 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
     ap.add_argument("--shape", default="local20", choices=sorted(SHAPES))
-    ap.add_argument("--segment-mode", default="scatter",
-                    choices=["scatter", "sorted", "unique", "factored"])
+    ap.add_argument("--segment-mode", default="auto",
+                    choices=["auto", "scatter", "sorted", "unique", "factored"])
     a = ap.parse_args()
     p = make_problem(shape=a.shape)
     if a.dump:
