@@ -37,6 +37,7 @@ accumulators over point-sharded observation blocks.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -254,21 +255,44 @@ def bundle_adjust(
         # masks the per-obs blocks by the low factor (an [O, _FB, D]
         # broadcast product), stage 2 contracts the observation axis
         # with the high factor on the MXU at HIGHEST (exact f32).
-        _FB = 128
+        # factor base: the stage-2 contraction reads the [O, FB, D]
+        # stage-1 product per emulation pass and the [O, nP/FB] high
+        # one-hot likewise, so traffic balances at FB ~ sqrt(nP/D);
+        # ORB_BA_FACTOR_BASE / ORB_BA_FACTOR_SPLIT are trace-time
+        # experiment knobs (A/B'd on chip, BASELINE.md r5)
+        _FB = int(os.environ.get("ORB_BA_FACTOR_BASE", "128"))
+        _split = os.environ.get("ORB_BA_FACTOR_SPLIT", "f32")
         nH = -(-nP // _FB)
         p_hi = obs_pt // _FB
         p_lo = obs_pt % _FB
+        hi_dtype = jnp.bfloat16 if _split == "hilo" else jnp.float32
         hi_onehot = (p_hi[:, None] == jnp.arange(nH)[None, :]
-                     ).astype(jnp.float32)                    # [O, nH]
+                     ).astype(hi_dtype)                       # [O, nH]
         lo_onehot = (p_lo[:, None] == jnp.arange(_FB)[None, :]
                      ).astype(jnp.float32)                    # [O, _FB]
 
         def _point_segment_sum(vals):
-            """[O, D] -> [nP, D] exact segment sum via the factored
-            one-hot (two matmul stages, f32 HIGHEST)."""
+            """[O, D] -> [nP, D] segment sum via the factored one-hot
+            (two matmul stages). "f32": exact, HIGHEST-precision
+            contraction (6 bf16 passes). "hilo": the stage-1 product
+            splits into an exact bf16 hi/lo pair contracted by the
+            bf16-exact one-hot in TWO single passes (~1e-5 relative on
+            the block sums)."""
             C = lo_onehot[:, :, None] * vals[:, None, :]      # [O, FB, D]
-            out = jnp.einsum("oh,old->hld", hi_onehot, C,
-                             precision=_HI)                   # [nH, FB, D]
+            if _split == "hilo":
+                Cf = C.reshape(C.shape[0], -1)
+                hi = Cf.astype(jnp.bfloat16)
+                lo = (Cf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                dn = (((0,), (0,)), ((), ()))
+                out = (jax.lax.dot_general(
+                           hi_onehot, hi, dimension_numbers=dn,
+                           preferred_element_type=jnp.float32)
+                       + jax.lax.dot_general(
+                           hi_onehot, lo, dimension_numbers=dn,
+                           preferred_element_type=jnp.float32))
+            else:
+                out = jnp.einsum("oh,old->hld", hi_onehot, C,
+                                 precision=_HI)               # [nH,FB,D]
             return out.reshape(nH * _FB, -1)[:nP]
     obs_fidx = fidx[obs_kf]
     if segment_mode == "sorted":
