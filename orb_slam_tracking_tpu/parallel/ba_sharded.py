@@ -120,6 +120,7 @@ def bundle_adjust_sharded(
     K: jnp.ndarray,
     iterations: int = 10,
     max_free_cams: int | None = None,
+    segment_mode: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Distributed LM BA. Returns (kf_R, kf_t, pts, final_cost).
 
@@ -129,8 +130,17 @@ def bundle_adjust_sharded(
     ``max_free_cams`` bounds the Schur coupling (and the psum'd S) to the
     free-camera window, exactly as in ``optim.ba.bundle_adjust`` — the
     collectives shrink with it too.
+
+    ``segment_mode``: "auto" resolves per backend like
+    ``optim.ba.bundle_adjust`` — "factored" (Kronecker point one-hot,
+    shard-local: obs_pt is already shard-local so no cross-device work
+    changes) on TPU, "scatter" elsewhere. Collectives are identical in
+    either mode.
     """
     axis = mesh.axis_names[0]
+    if segment_mode == "auto":
+        segment_mode = ("factored" if jax.default_backend() == "tpu"
+                        else "scatter")
     nK = kf_R.shape[0]
     nF = nK if max_free_cams is None else min(max_free_cams, nK)
 
@@ -149,6 +159,24 @@ def bundle_adjust_sharded(
         fidx = jnp.where(free_cam, jnp.minimum(free_rank, nF - 1), nF)
         obs_fidx = fidx[obs_kf]
         n_free = jnp.sum(free_cam.astype(jnp.int32))
+        if segment_mode == "factored":
+            nO_local = obs_kf.shape[0]
+            cam_onehot = (obs_kf[None, :] == jnp.arange(nK)[:, None]
+                          ).astype(jnp.float32)               # [nK, O]
+            _FB = 128
+            nH = -(-nP_local // _FB)
+            hi_onehot = ((obs_pt // _FB)[:, None]
+                         == jnp.arange(nH)[None, :]
+                         ).astype(jnp.float32)                # [O, nH]
+            lo_onehot = ((obs_pt % _FB)[:, None]
+                         == jnp.arange(_FB)[None, :]
+                         ).astype(jnp.float32)                # [O, _FB]
+
+            def _point_segment_sum(vals):
+                C = lo_onehot[:, :, None] * vals[:, None, :]
+                out = jnp.einsum("oh,old->hld", hi_onehot, C,
+                                 precision=jax.lax.Precision.HIGHEST)
+                return out.reshape(nH * _FB, -1)[:nP_local]
 
         def robust_cost(R, t, X):
             r, _, _ = _residuals(R, t, X, obs_kf, obs_pt, obs_uv, fx, fy, cx, cy)
@@ -184,10 +212,20 @@ def bundle_adjust_sharded(
             bgp = Jpw[:, 0] * r[:, 0, None] + Jpw[:, 1] * r[:, 1, None]
             bW = (Jcw[:, 0, :, None] * Jp[:, 0, None, :]
                   + Jcw[:, 1, :, None] * Jp[:, 1, None, :])
-            V = jnp.zeros((nP_local, 3, 3)).at[obs_pt].add(bV)
-            g_p = jnp.zeros((nP_local, 3)).at[obs_pt].add(bgp)
-            U_local = jnp.zeros((nK, 6, 6)).at[obs_kf].add(bU)
-            g_c_local = jnp.zeros((nK, 6)).at[obs_kf].add(bgc)
+            if segment_mode == "factored":
+                U_local = jnp.einsum("ko,oij->kij", cam_onehot, bU,
+                                     precision=jax.lax.Precision.HIGHEST)
+                g_c_local = jnp.einsum("ko,oi->ki", cam_onehot, bgc,
+                                       precision=jax.lax.Precision.HIGHEST)
+                Vg = _point_segment_sum(
+                    jnp.concatenate([bV.reshape(-1, 9), bgp], axis=1))
+                V = Vg[:, :9].reshape(nP_local, 3, 3)
+                g_p = Vg[:, 9:12]
+            else:
+                V = jnp.zeros((nP_local, 3, 3)).at[obs_pt].add(bV)
+                g_p = jnp.zeros((nP_local, 3)).at[obs_pt].add(bgp)
+                U_local = jnp.zeros((nK, 6, 6)).at[obs_kf].add(bU)
+                g_c_local = jnp.zeros((nK, 6)).at[obs_kf].add(bgc)
             Wb = jnp.zeros((nP_local, nF + 1, 6, 3)).at[obs_pt, obs_fidx].add(
                 bW)[:, :nF]
 

@@ -79,6 +79,35 @@ def test_sharded_ba_matches_single_chip(rng):
     np.testing.assert_allclose(np.asarray(X2), np.asarray(ref.pts), atol=5e-3)
 
 
+def test_sharded_ba_factored_matches_scatter(rng):
+    """The factored segment mode inside the shard_map must reproduce the
+    scatter mode on the same bucketed problem (TPU deployments resolve
+    "auto" to factored; this pins its shard-local correctness)."""
+    nK, nP = 8, 512
+    pts0, kf_R0, kf_t0, obs_kf, obs_pt, obs_uv = _problem(rng, nK, nP)
+    O = nK * nP
+    fixed = np.zeros(nK, bool)
+    fixed[0] = True
+    mesh = make_ba_mesh()
+    n_dev = len(jax.devices())
+    per = O // n_dev + 64
+    bk, bp, buv, bw, bv = bucket_observations(
+        obs_kf, obs_pt, obs_uv, np.ones(O, np.float32), np.ones(O, bool),
+        nP, n_dev, per,
+    )
+    args = (mesh, jnp.asarray(kf_R0), jnp.asarray(kf_t0),
+            jnp.asarray(pts0), jnp.asarray(bk), jnp.asarray(bp),
+            jnp.asarray(buv), jnp.asarray(bw), jnp.asarray(bv),
+            jnp.asarray(fixed), jnp.ones(nP, bool), jnp.asarray(K))
+    Ra, ta, Xa, ca = bundle_adjust_sharded(
+        *args, iterations=8, segment_mode="scatter")
+    Rb, tb, Xb, cb = bundle_adjust_sharded(
+        *args, iterations=8, segment_mode="factored")
+    assert abs(float(ca) - float(cb)) < 1e-3 * abs(float(ca))
+    np.testing.assert_allclose(np.asarray(ta), np.asarray(tb), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(Xa), np.asarray(Xb), atol=5e-3)
+
+
 def test_bucket_observations_roundtrip(rng):
     nP, n_dev = 64, 8
     O = 100
