@@ -462,7 +462,12 @@ class _Orchestrator:
             os.path.dirname(os.path.abspath(__file__)),
             "scripts", "tpu_seq_fps.py")
         seq_seed = os.path.join(self.outdir, "seq_seed.npz")
+        # only spend the seed's CPU time when enough budget remains for
+        # the primary TPU metrics PLUS a seq child afterwards — a small
+        # ORB_BENCH_BUDGET_S override must not bleed primary-retry
+        # budget into the tertiary metric
         seq_seed_ok = (os.path.exists(seq_script)
+                       and self._remaining() > 1500
                        and self._run_child(["--child", "seed", seq_seed],
                                            420, "seq seed(cpu)",
                                            script=seq_script))

@@ -267,10 +267,34 @@ def main():
     print(f"estimated trajectory: {len(tracker.trajectory)} poses "
           f"-> {args.out} ({n_lost} LOST frames)")
 
+    # recovery-span report (groundtruth-INDEPENDENT: LOST span and
+    # frames-to-recover must print even without groundtruth.txt or with
+    # too few associations — review finding r5); the post-recovery ATE
+    # below still needs groundtruth
+    rec_ts = None
+    never_recovered = False
+    if args.recovery_after is not None and lost_flags:
+        m = args.recovery_after
+        post = lost_flags[m:]
+        first_ok = next((j for j, l in enumerate(post) if not l), None)
+        lost_span = [k for k, l in enumerate(lost_flags) if l]
+        span_txt = (f"frames {lost_span[0]}..{lost_span[-1]}"
+                    if lost_span else "none")
+        if first_ok is None:
+            print(f"recovery: NEVER RECOVERED after frame {m} "
+                  f"(LOST span: {span_txt})")
+            never_recovered = True
+        else:
+            rec_frame = m + first_ok
+            rec_ts = lost_ts[rec_frame]
+            print(f"recovery: recovered at frame {rec_frame} "
+                  f"({first_ok} frames after the scene returned at {m}; "
+                  f"LOST span: {span_txt})")
+
     gt_path = os.path.join(args.seq_dir, "groundtruth.txt")
     if not os.path.exists(gt_path):
         print("no groundtruth.txt — skipping ATE/RPE")
-        return 0
+        return 1 if never_recovered else 0
 
     gt = read_groundtruth(args.seq_dir)
     est_ts = np.array([ts for _, ts, _, _ in tracker.trajectory])
@@ -302,22 +326,9 @@ def main():
     print(f"ATE RMSE: {ate * 100:.2f} cm")
     print(f"RPE (delta={delta}): {rpe_t * 100:.2f} cm, {rpe_r:.3f} deg")
 
-    if args.recovery_after is not None and lost_flags:
-        m = args.recovery_after
-        post = lost_flags[m:]
-        first_ok = next((j for j, l in enumerate(post) if not l), None)
-        lost_span = [k for k, l in enumerate(lost_flags) if l]
-        span_txt = (f"frames {lost_span[0]}..{lost_span[-1]}"
-                    if lost_span else "none")
-        if first_ok is None:
-            print(f"recovery: NEVER RECOVERED after frame {m} "
-                  f"(LOST span: {span_txt})")
-            return 1
-        rec_frame = m + first_ok
-        rec_ts = lost_ts[rec_frame]
-        print(f"recovery: recovered at frame {rec_frame} "
-              f"({first_ok} frames after the scene returned at {m}; "
-              f"LOST span: {span_txt})")
+    if never_recovered:
+        return 1
+    if rec_ts is not None:
         # post-recovery ATE on its own Sim(3) alignment: measures the
         # quality of the relocalized pose + subsequent tracking, not
         # the (unobservable) drift accumulated during the blackout

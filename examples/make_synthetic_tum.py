@@ -148,8 +148,14 @@ def main():
             img = img + rng.normal(0.0, args.noise, img.shape)
         if blackout is not None and blackout[0] <= i <= blackout[1]:
             # a sensor blackout: uniform near-black + faint noise so the
-            # extractor finds essentially no corners (FAST needs contrast)
-            img = np.full_like(img, 8.0) + rng.normal(0.0, 1.0, img.shape)
+            # extractor finds essentially no corners (FAST needs
+            # contrast). The noise comes from an INDEPENDENT generator
+            # so the main rng stream stays aligned with a same-seed
+            # no-blackout control run — post-blackout frames are then
+            # pixel-identical between the two (review finding r5)
+            bo_rng = np.random.default_rng((args.seed, 0xB1AC, i))
+            img = np.full_like(img, 8.0) + bo_rng.normal(0.0, 1.0,
+                                                         img.shape)
         img = np.clip(img, 0, 255).astype(np.uint8)
         name = f"rgb/{ts:.6f}.png"
         Image.fromarray(img, mode="L").save(

@@ -47,7 +47,8 @@ import jax.numpy as jnp
 from ..geometry import se3
 from .lm import huber_weight, inv3x3, nielsen_update
 
-__all__ = ["BAResult", "bundle_adjust", "inv3x3"]
+__all__ = ["BAResult", "bundle_adjust", "inv3x3",
+           "make_factored_point_segment_sum"]
 
 _CHI2_MONO = 5.991
 _HI = jax.lax.Precision.HIGHEST
@@ -102,6 +103,49 @@ def _obs_residuals(kf_R, kf_t, pts, obs_kf, obs_pt, obs_uv, fx, fy, cx, cy):
     Jc = jnp.matmul(J_proj, J_pc_cam, precision=_HI)  # [O, 2, 6]
     Jp = jnp.matmul(J_proj, Ro, precision=_HI)  # [O, 2, 3] d(pc)/d(X) = R
     return r, Jc, Jp, z
+
+
+def make_factored_point_segment_sum(obs_pt: jnp.ndarray, n_points: int):
+    """Build the Kronecker-factored point segment-sum closure
+    ([O, D] -> [n_points, D]) shared by the single-chip and sharded
+    solvers (``parallel/ba_sharded.py`` — obs_pt there is shard-local).
+
+    p = h * FB + l: the unmaterializable [O, nP] one-hot factors into a
+    small low/high pair, turning the segment sum into a stage-1
+    broadcast mask and a stage-2 MXU contraction over the observation
+    axis. Exact f32 by default (HIGHEST); ``ORB_BA_FACTOR_BASE`` /
+    ``ORB_BA_FACTOR_SPLIT`` are trace-time A/B knobs (the bf16 "hilo"
+    split measured convergence-unsafe at the 65k-obs scale —
+    BASELINE.md r5 — and stays off).
+    """
+    _FB = int(os.environ.get("ORB_BA_FACTOR_BASE", "128"))
+    _split = os.environ.get("ORB_BA_FACTOR_SPLIT", "f32")
+    nH = -(-n_points // _FB)
+    hi_dtype = jnp.bfloat16 if _split == "hilo" else jnp.float32
+    hi_onehot = ((obs_pt // _FB)[:, None] == jnp.arange(nH)[None, :]
+                 ).astype(hi_dtype)                           # [O, nH]
+    lo_onehot = ((obs_pt % _FB)[:, None] == jnp.arange(_FB)[None, :]
+                 ).astype(jnp.float32)                        # [O, _FB]
+
+    def point_segment_sum(vals):
+        C = lo_onehot[:, :, None] * vals[:, None, :]          # [O, FB, D]
+        if _split == "hilo":
+            Cf = C.reshape(C.shape[0], -1)
+            hi = Cf.astype(jnp.bfloat16)
+            lo = (Cf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dn = (((0,), (0,)), ((), ()))
+            out = (jax.lax.dot_general(
+                       hi_onehot, hi, dimension_numbers=dn,
+                       preferred_element_type=jnp.float32)
+                   + jax.lax.dot_general(
+                       hi_onehot, lo, dimension_numbers=dn,
+                       preferred_element_type=jnp.float32))
+        else:
+            out = jnp.einsum("oh,old->hld", hi_onehot, C,
+                             precision=_HI)                   # [nH,FB,D]
+        return out.reshape(nH * _FB, -1)[:n_points]
+
+    return point_segment_sum
 
 
 def _point_windows(vals: jnp.ndarray, starts: jnp.ndarray, m_pad: int,
@@ -199,6 +243,10 @@ def bundle_adjust(
     if segment_mode == "auto":
         segment_mode = ("factored" if jax.default_backend() == "tpu"
                         else "scatter")
+    if segment_mode not in ("scatter", "sorted", "unique", "factored"):
+        raise ValueError(
+            f"segment_mode must be one of auto/scatter/sorted/unique/"
+            f"factored, got {segment_mode!r}")
     nK = kf_R.shape[0]
     nP = pts.shape[0]
     nF = nK if max_free_cams is None else min(max_free_cams, nK)
@@ -217,16 +265,25 @@ def bundle_adjust(
     perm = None
     if segment_mode == "sorted":
         # one sort + boundary search per SOLVE (the obs layout is fixed
-        # across LM iterations); invalid observations sort normally and
-        # contribute zero through w_info. Dump entries (fidx == nF:
+        # across LM iterations). INVALID observations sort past every
+        # real point via the sentinel nP: fixed-capacity maps pad unused
+        # slots with obs_pt = 0 (slam/map.py), and letting thousands of
+        # fillers share point 0's contiguous run would push its REAL
+        # observations out of the [M_pad] window (zero-weight fillers
+        # contribute nothing, but window overflow would silently DROP
+        # real entries — review finding r5). Dump entries (fidx == nF:
         # fixed/out-of-window cameras) sort LAST within each point.
-        key = obs_pt * (nF + 1) + fidx[obs_kf]
+        pt_for_key = jnp.where(obs_valid, obs_pt, nP)
+        key = pt_for_key * (nF + 1) + fidx[obs_kf]
         perm = jnp.argsort(key)
         obs_kf = obs_kf[perm]
         obs_pt = obs_pt[perm]
         obs_uv = obs_uv[perm]
         w_info = w_info[perm]
-        opt_s = obs_pt
+        # boundaries over the SENTINEL-mapped keys (fillers carry value
+        # nP and so land past every query), not the raw obs_pt values
+        # (the fillers' raw 0s at the end would break sortedness)
+        opt_s = pt_for_key[perm]
         nO = obs_kf.shape[0]
         pt_starts = jnp.searchsorted(opt_s, jnp.arange(nP))
         pt_ends = jnp.concatenate(
@@ -248,52 +305,7 @@ def bundle_adjust(
         cam_onehot = (obs_kf[None, :] == jnp.arange(nK)[:, None]
                       ).astype(jnp.float32)  # [nK, O]
     if segment_mode == "factored":
-        # factored point one-hot: p = h * _FB + l. A dense [O, nP]
-        # one-hot is unmaterializable, but its Kronecker factors are
-        # small, turning the point-axis segment sum into two real-tile
-        # f32 stages (no sorting, no gathers, no scatters): stage 1
-        # masks the per-obs blocks by the low factor (an [O, _FB, D]
-        # broadcast product), stage 2 contracts the observation axis
-        # with the high factor on the MXU at HIGHEST (exact f32).
-        # factor base: the stage-2 contraction reads the [O, FB, D]
-        # stage-1 product per emulation pass and the [O, nP/FB] high
-        # one-hot likewise, so traffic balances at FB ~ sqrt(nP/D);
-        # ORB_BA_FACTOR_BASE / ORB_BA_FACTOR_SPLIT are trace-time
-        # experiment knobs (A/B'd on chip, BASELINE.md r5)
-        _FB = int(os.environ.get("ORB_BA_FACTOR_BASE", "128"))
-        _split = os.environ.get("ORB_BA_FACTOR_SPLIT", "f32")
-        nH = -(-nP // _FB)
-        p_hi = obs_pt // _FB
-        p_lo = obs_pt % _FB
-        hi_dtype = jnp.bfloat16 if _split == "hilo" else jnp.float32
-        hi_onehot = (p_hi[:, None] == jnp.arange(nH)[None, :]
-                     ).astype(hi_dtype)                       # [O, nH]
-        lo_onehot = (p_lo[:, None] == jnp.arange(_FB)[None, :]
-                     ).astype(jnp.float32)                    # [O, _FB]
-
-        def _point_segment_sum(vals):
-            """[O, D] -> [nP, D] segment sum via the factored one-hot
-            (two matmul stages). "f32": exact, HIGHEST-precision
-            contraction (6 bf16 passes). "hilo": the stage-1 product
-            splits into an exact bf16 hi/lo pair contracted by the
-            bf16-exact one-hot in TWO single passes (~1e-5 relative on
-            the block sums)."""
-            C = lo_onehot[:, :, None] * vals[:, None, :]      # [O, FB, D]
-            if _split == "hilo":
-                Cf = C.reshape(C.shape[0], -1)
-                hi = Cf.astype(jnp.bfloat16)
-                lo = (Cf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                dn = (((0,), (0,)), ((), ()))
-                out = (jax.lax.dot_general(
-                           hi_onehot, hi, dimension_numbers=dn,
-                           preferred_element_type=jnp.float32)
-                       + jax.lax.dot_general(
-                           hi_onehot, lo, dimension_numbers=dn,
-                           preferred_element_type=jnp.float32))
-            else:
-                out = jnp.einsum("oh,old->hld", hi_onehot, C,
-                                 precision=_HI)               # [nH,FB,D]
-            return out.reshape(nH * _FB, -1)[:nP]
+        _point_segment_sum = make_factored_point_segment_sum(obs_pt, nP)
     obs_fidx = fidx[obs_kf]
     if segment_mode == "sorted":
         # slot -> free-camera one-hot, [nP, M, nF] bf16 (exact for
@@ -358,13 +370,22 @@ def bundle_adjust(
             # Wb scatters by (point, free-rank) straight into the
             # [nP, nF] window: dump-slot (fixed/out-of-window) updates
             # land out of bounds and drop.
+            # the unique_indices promise must hold for EVERY index in
+            # the array, including dropped ones: fixed-capacity maps pad
+            # invalid slots with (pt=0, kf=0) duplicates, and dump
+            # entries of a shared point duplicate (pt, nF) — route both
+            # to DISTINCT out-of-bounds indices instead (review finding
+            # r5; mode="drop" discards them, uniqueness stays true)
+            obs_iota = jnp.arange(obs_kf.shape[0])
+            uq_pt = jnp.where(obs_valid, obs_pt, nP + obs_iota)
+            uq_fidx = jnp.where(obs_fidx < nF, obs_fidx, nF + obs_kf)
             U = jnp.einsum("ko,oij->kij", cam_onehot, bU, precision=_HI)
             g_c = jnp.einsum("ko,oi->ki", cam_onehot, bgc, precision=_HI)
-            V = jnp.zeros((nP, nK, 3, 3)).at[obs_pt, obs_kf].add(
+            V = jnp.zeros((nP, nK, 3, 3)).at[uq_pt, obs_kf].add(
                 bV, unique_indices=True, mode="drop").sum(1)
-            g_p = jnp.zeros((nP, nK, 3)).at[obs_pt, obs_kf].add(
+            g_p = jnp.zeros((nP, nK, 3)).at[uq_pt, obs_kf].add(
                 bgp, unique_indices=True, mode="drop").sum(1)
-            Wb = jnp.zeros((nP, nF, 6, 3)).at[obs_pt, obs_fidx].add(
+            Wb = jnp.zeros((nP, nF, 6, 3)).at[uq_pt, uq_fidx].add(
                 bW, unique_indices=True, mode="drop")
         elif segment_mode == "factored":
             U = jnp.einsum("ko,oij->kij", cam_onehot, bU, precision=_HI)

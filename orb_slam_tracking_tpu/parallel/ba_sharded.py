@@ -33,7 +33,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..geometry import se3
-from ..optim.ba import inv3x3
+from ..optim.ba import inv3x3, make_factored_point_segment_sum
 from ..optim.lm import huber_weight, nielsen_update
 
 __all__ = ["make_ba_mesh", "bucket_observations", "bundle_adjust_sharded"]
@@ -160,23 +160,10 @@ def bundle_adjust_sharded(
         obs_fidx = fidx[obs_kf]
         n_free = jnp.sum(free_cam.astype(jnp.int32))
         if segment_mode == "factored":
-            nO_local = obs_kf.shape[0]
             cam_onehot = (obs_kf[None, :] == jnp.arange(nK)[:, None]
                           ).astype(jnp.float32)               # [nK, O]
-            _FB = 128
-            nH = -(-nP_local // _FB)
-            hi_onehot = ((obs_pt // _FB)[:, None]
-                         == jnp.arange(nH)[None, :]
-                         ).astype(jnp.float32)                # [O, nH]
-            lo_onehot = ((obs_pt % _FB)[:, None]
-                         == jnp.arange(_FB)[None, :]
-                         ).astype(jnp.float32)                # [O, _FB]
-
-            def _point_segment_sum(vals):
-                C = lo_onehot[:, :, None] * vals[:, None, :]
-                out = jnp.einsum("oh,old->hld", hi_onehot, C,
-                                 precision=jax.lax.Precision.HIGHEST)
-                return out.reshape(nH * _FB, -1)[:nP_local]
+            _point_segment_sum = make_factored_point_segment_sum(
+                obs_pt, nP_local)
 
         def robust_cost(R, t, X):
             r, _, _ = _residuals(R, t, X, obs_kf, obs_pt, obs_uv, fx, fy, cx, cy)

@@ -164,8 +164,7 @@ def child_multiseq(n_dev: int):
     }), flush=True)
 
 
-def analytic_model(nF=NKF, nK=NKF, obs=NPTS * OBS_PER_PT,
-                   per_shard_ms=None):
+def analytic_model(nF=NKF, nK=NKF):
     """ICI efficiency bound for the point-sharded BA on a real v5e slice.
 
     psum payload per LM iteration (floats), exactly countable from

@@ -391,3 +391,54 @@ def test_segment_mode_unique_bounded_window(rng):
                                atol=5e-4)
     np.testing.assert_allclose(np.asarray(a.pts), np.asarray(b.pts),
                                atol=5e-3)
+
+
+def test_segment_modes_with_map_filler_padding(rng):
+    """Fixed-capacity maps pad unused observation slots with
+    (obs_kf=0, obs_pt=0, valid=False) — slam/map.py. Every segment mode
+    must be exact under MANY such duplicate fillers (review finding r5:
+    the sorted window once dropped point 0's real observations; the
+    unique mode once made a false uniqueness promise)."""
+    nK, nP = 6, 150
+    (_, _, _, pts0, kf_R0, kf_t0, obs_kf, obs_pt, obs_uv) = _ba_problem(rng)
+    fixed = np.zeros(nK, bool)
+    fixed[0] = True
+    O_real = len(obs_kf)
+    n_fill = 400  # far more fillers than the per-point window (nK)
+    obs_kf = np.concatenate([obs_kf, np.zeros(n_fill, np.int32)])
+    obs_pt = np.concatenate([obs_pt, np.zeros(n_fill, np.int32)])
+    obs_uv = np.concatenate([obs_uv, np.zeros((n_fill, 2), np.float32)])
+    valid = np.concatenate([np.ones(O_real, bool), np.zeros(n_fill, bool)])
+    O = O_real + n_fill
+    common = (jnp.asarray(obs_kf), jnp.asarray(obs_pt),
+              jnp.asarray(obs_uv), jnp.ones(O), jnp.asarray(valid),
+              jnp.asarray(fixed), jnp.ones(nP, bool), jnp.asarray(K))
+    ref = bundle_adjust(jnp.asarray(kf_R0), jnp.asarray(kf_t0),
+                        jnp.asarray(pts0), *common, iterations=10,
+                        segment_mode="scatter")
+    for mode in ("sorted", "unique", "factored"):
+        got = bundle_adjust(jnp.asarray(kf_R0), jnp.asarray(kf_t0),
+                            jnp.asarray(pts0), *common, iterations=10,
+                            segment_mode=mode)
+        assert abs(float(ref.cost) - float(got.cost)) \
+            < 1e-3 * abs(float(ref.cost)), mode
+        np.testing.assert_allclose(np.asarray(ref.kf_t),
+                                   np.asarray(got.kf_t), atol=5e-4,
+                                   err_msg=mode)
+        # point 0 must actually move together with the reference (the
+        # sorted-window bug left it nearly untouched)
+        np.testing.assert_allclose(np.asarray(ref.pts)[0],
+                                   np.asarray(got.pts)[0], atol=5e-3,
+                                   err_msg=mode)
+
+
+def test_segment_mode_unknown_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="segment_mode"):
+        bundle_adjust(
+            jnp.eye(3)[None], jnp.zeros((1, 3)), jnp.zeros((4, 3)),
+            jnp.zeros(8, jnp.int32), jnp.zeros(8, jnp.int32),
+            jnp.zeros((8, 2)), jnp.ones(8), jnp.ones(8, bool),
+            jnp.zeros(1, bool), jnp.ones(4, bool), jnp.asarray(K),
+            iterations=1, segment_mode="factred")
