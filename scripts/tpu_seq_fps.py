@@ -24,11 +24,12 @@ import subprocess
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-T1, T2 = 48, 192
+T1 = int(os.environ.get("ORB_SEQ_T1", "48"))
+T2 = int(os.environ.get("ORB_SEQ_T2", "192"))
 N_FRAMES = 260
 
 
@@ -152,6 +153,28 @@ def child_tpu(seed_path, out_path):
         "T": [T1, T2],
         "wall_s": [round(e1, 3), round(e2, 3)],
     }
+    # on-chip ACCURACY probe: the trajectory the frames were rendered
+    # from is deterministic (make_trajectory), so the device loop's T2
+    # poses can be Sim(3)-aligned against ground truth right here —
+    # this is the accuracy evidence for the ON-CHIP mapping/BA path
+    # (the CPU evals cover the same code on the CPU backend only)
+    try:
+        from orb_slam_tracking_tpu.utils.metrics import umeyama_alignment
+        from orb_slam_tracking_tpu.utils.synthetic import make_trajectory
+
+        mf, outs = run(jnp.asarray(frames[:T2]), *args)
+        est_R = np.asarray(outs.R)
+        est_t = np.asarray(outs.t)
+        boot = int(z["boot_end"])
+        gt = make_trajectory(boot + T2, "strafe")[boot: boot + T2]
+        est_c = np.stack([-(est_R[i].T @ est_t[i]) for i in range(T2)])
+        gt_c = np.stack([-(R.T @ t) for R, t in gt])
+        R_a, t_a, s_a = umeyama_alignment(est_c, gt_c)
+        aligned = (s_a * (R_a @ est_c.T)).T + t_a
+        ate = float(np.sqrt(np.mean(np.sum((aligned - gt_c) ** 2, -1))))
+        res["ate_cm_T2"] = round(ate * 100.0, 3)
+    except Exception as e:  # the fps metric must land regardless
+        res["ate_error"] = repr(e)
     tmp = out_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(res, f)
