@@ -40,6 +40,7 @@ SHAPES = {
     "local20": (20, 5120, 4),
     "local64": (64, 16384, 4),
     "global96": (96, 24576, 4),
+    "global128": (128, 32768, 4),
 }
 FX = FY = 450.0
 CX, CY = 320.0, 240.0

@@ -43,7 +43,7 @@ ap.add_argument("--variant", required=True,
                 choices=["full", "resid", "blocks", "blocks_flag",
                          "blocks_mm", "blocks_mm2", "blocks_sc2",
                          "blocks_uq", "useg_only", "vseg_only",
-                         "schur", "schur2"])
+                         "blocks_fac", "schur", "schur2"])
 ap.add_argument("--cpu", action="store_true")
 ap.add_argument("--shape", default="local64")
 ap.add_argument("--json", default=None)
@@ -250,6 +250,36 @@ def make_fn():
                         obs_pt, obs_fidx].add(
                         bW, unique_indices=True, mode="drop")
                     s = jnp.sum(V) + jnp.sum(g_p) + jnp.sum(Wb) + jnp.sum(bU)
+                return c + s * 1e-12, None
+            out, _ = jax.lax.scan(body, t_shift, None, length=SCAN)
+            return out
+        return run
+
+    if v == "blocks_fac":
+        # the SHIPPED block build (segment_mode="factored"): one-hot
+        # camera matmuls + Kronecker-factored point sums + the Wb
+        # scatter — isolates how the 20 ms/iter full solve decomposes
+        from orb_slam_tracking_tpu.optim.ba import (
+            make_factored_point_segment_sum,
+        )
+        onehot = (obs_kf[None, :] == jnp.arange(nK)[:, None]).astype(
+            jnp.float32)
+        pseg = make_factored_point_segment_sum(obs_pt, nP)
+
+        @jax.jit
+        def run(t_shift):
+            def body(c, _):
+                r, Jc, Jp, w = residjac(c)
+                bU, bV, bgc, bgp, bW = obs_blocks_bcast(r, Jc, Jp, w)
+                U = jnp.einsum("ko,oij->kij", onehot, bU, precision=_HI)
+                g_c = jnp.einsum("ko,oi->ki", onehot, bgc, precision=_HI)
+                Vg = pseg(jnp.concatenate([bV.reshape(-1, 9), bgp], 1))
+                V = Vg[:, :9].reshape(nP, 3, 3)
+                g_p = Vg[:, 9:12]
+                Wb = jnp.zeros((nP, nF + 1, 6, 3)).at[
+                    obs_pt, obs_fidx].add(bW)[:, :nF]
+                s = (jnp.sum(U) + jnp.sum(V) + jnp.sum(g_c) + jnp.sum(g_p)
+                     + jnp.sum(Wb))
                 return c + s * 1e-12, None
             out, _ = jax.lax.scan(body, t_shift, None, length=SCAN)
             return out
