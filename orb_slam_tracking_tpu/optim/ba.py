@@ -48,7 +48,7 @@ from ..geometry import se3
 from .lm import huber_weight, inv3x3, nielsen_update
 
 __all__ = ["BAResult", "bundle_adjust", "inv3x3",
-           "make_factored_point_segment_sum"]
+           "make_factored_point_segment_sum", "factored_V_gp"]
 
 _CHI2_MONO = 5.991
 _HI = jax.lax.Precision.HIGHEST
@@ -129,16 +129,39 @@ def make_factored_point_segment_sum(obs_pt: jnp.ndarray, n_points: int):
 
     def point_segment_sum(vals):
         C = lo_onehot[:, :, None] * vals[:, None, :]          # [O, FB, D]
+        dn = (((0,), (0,)), ((), ()))
         if _split == "hilo":
             Cf = C.reshape(C.shape[0], -1)
             hi = Cf.astype(jnp.bfloat16)
             lo = (Cf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            dn = (((0,), (0,)), ((), ()))
             out = (jax.lax.dot_general(
                        hi_onehot, hi, dimension_numbers=dn,
                        preferred_element_type=jnp.float32)
                    + jax.lax.dot_general(
                        hi_onehot, lo, dimension_numbers=dn,
+                       preferred_element_type=jnp.float32))
+        elif _split == "tri":
+            # 3-term bf16 decomposition: 3 x 8 mantissa bits cover
+            # f32's 24, so with the one-hot side EXACT in bf16 this
+            # reaches the same fidelity as the 6-pass HIGHEST emulation
+            # (which must split BOTH operands) in half the passes and
+            # half the operand traffic. (The 2-term "hilo" split's
+            # ~1e-5 residual measured convergence-unsafe; this one's
+            # residual is at the f32 rounding floor.)
+            Cf = C.reshape(C.shape[0], -1)
+            c_h = Cf.astype(jnp.bfloat16)
+            r1 = Cf - c_h.astype(jnp.float32)
+            c_m = r1.astype(jnp.bfloat16)
+            c_l = (r1 - c_m.astype(jnp.float32)).astype(jnp.bfloat16)
+            oh = hi_onehot.astype(jnp.bfloat16)
+            out = (jax.lax.dot_general(
+                       oh, c_h, dimension_numbers=dn,
+                       preferred_element_type=jnp.float32)
+                   + jax.lax.dot_general(
+                       oh, c_m, dimension_numbers=dn,
+                       preferred_element_type=jnp.float32)
+                   + jax.lax.dot_general(
+                       oh, c_l, dimension_numbers=dn,
                        preferred_element_type=jnp.float32))
         else:
             out = jnp.einsum("oh,old->hld", hi_onehot, C,
@@ -146,6 +169,26 @@ def make_factored_point_segment_sum(obs_pt: jnp.ndarray, n_points: int):
         return out.reshape(nH * _FB, -1)[:n_points]
 
     return point_segment_sum
+
+
+def factored_V_gp(point_segment_sum, bV: jnp.ndarray, bgp: jnp.ndarray):
+    """V ([*,3,3] symmetric) and g_p via one factored segment sum over
+    the 6 unique V entries + 3 gradient entries (D=9 instead of 12 —
+    25% less stage-1/2 traffic; shared by optim.ba and
+    parallel.ba_sharded)."""
+    packed = jnp.stack(
+        [bV[:, 0, 0], bV[:, 0, 1], bV[:, 0, 2],
+         bV[:, 1, 1], bV[:, 1, 2], bV[:, 2, 2],
+         bgp[:, 0], bgp[:, 1], bgp[:, 2]], axis=1)            # [O, 9]
+    seg = point_segment_sum(packed)                           # [nP, 9]
+    a, b, c, d, e, f = (seg[:, 0], seg[:, 1], seg[:, 2],
+                        seg[:, 3], seg[:, 4], seg[:, 5])
+    V = jnp.stack([
+        jnp.stack([a, b, c], -1),
+        jnp.stack([b, d, e], -1),
+        jnp.stack([c, e, f], -1),
+    ], axis=-2)
+    return V, seg[:, 6:9]
 
 
 def _point_windows(vals: jnp.ndarray, starts: jnp.ndarray, m_pad: int,
@@ -390,10 +433,7 @@ def bundle_adjust(
         elif segment_mode == "factored":
             U = jnp.einsum("ko,oij->kij", cam_onehot, bU, precision=_HI)
             g_c = jnp.einsum("ko,oi->ki", cam_onehot, bgc, precision=_HI)
-            Vg = _point_segment_sum(
-                jnp.concatenate([bV.reshape(-1, 9), bgp], axis=1))
-            V = Vg[:, :9].reshape(nP, 3, 3)
-            g_p = Vg[:, 9:12]
+            V, g_p = factored_V_gp(_point_segment_sum, bV, bgp)
             # coupling keeps the scatter: its (pt, fidx) cells have no
             # small exact matmul factorization that avoids a [nP x nF]
             # one-hot blow-up; measured r5, this leaves the Wb scatter

@@ -33,7 +33,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..geometry import se3
-from ..optim.ba import inv3x3, make_factored_point_segment_sum
+from ..optim.ba import (factored_V_gp, inv3x3,
+                        make_factored_point_segment_sum)
 from ..optim.lm import huber_weight, nielsen_update
 
 __all__ = ["make_ba_mesh", "bucket_observations", "bundle_adjust_sharded"]
@@ -204,10 +205,7 @@ def bundle_adjust_sharded(
                                      precision=jax.lax.Precision.HIGHEST)
                 g_c_local = jnp.einsum("ko,oi->ki", cam_onehot, bgc,
                                        precision=jax.lax.Precision.HIGHEST)
-                Vg = _point_segment_sum(
-                    jnp.concatenate([bV.reshape(-1, 9), bgp], axis=1))
-                V = Vg[:, :9].reshape(nP_local, 3, 3)
-                g_p = Vg[:, 9:12]
+                V, g_p = factored_V_gp(_point_segment_sum, bV, bgp)
             else:
                 V = jnp.zeros((nP_local, 3, 3)).at[obs_pt].add(bV)
                 g_p = jnp.zeros((nP_local, 3)).at[obs_pt].add(bgp)
