@@ -141,13 +141,14 @@ def make_factored_point_segment_sum(obs_pt: jnp.ndarray, n_points: int):
                        hi_onehot, lo, dimension_numbers=dn,
                        preferred_element_type=jnp.float32))
         elif _split == "tri":
-            # 3-term bf16 decomposition: 3 x 8 mantissa bits cover
-            # f32's 24, so with the one-hot side EXACT in bf16 this
-            # reaches the same fidelity as the 6-pass HIGHEST emulation
-            # (which must split BOTH operands) in half the passes and
-            # half the operand traffic. (The 2-term "hilo" split's
-            # ~1e-5 residual measured convergence-unsafe; this one's
-            # residual is at the f32 rounding floor.)
+            # 3-term bf16 decomposition. ON PAPER 3 x 8 mantissa bits
+            # cover f32's 24 with a bf16-exact one-hot on the other
+            # side; ON CHIP it measured BOTH slower than the 6-pass
+            # HIGHEST path (44.8 vs 50.8 iters/s at local64) AND
+            # convergence-damaged (25,910 vs 20,477 — BASELINE.md r5),
+            # so the theoretical-fidelity argument does not survive
+            # XLA's actual lowering. Kept as a recorded-negative A/B
+            # hook only; "f32" (HIGHEST) is the shipped default.
             Cf = C.reshape(C.shape[0], -1)
             c_h = Cf.astype(jnp.bfloat16)
             r1 = Cf - c_h.astype(jnp.float32)
