@@ -10,8 +10,11 @@ cpp:61-164``; reprojection edges with analytic Jacobians
 
 - observations are a COO list (keyframe, point, uv, information, valid) —
   the natural array form of the factor graph;
-- per-camera 6x6 ``U``, per-point 3x3 ``V`` and the RHS accumulate with
-  ``segment_sum`` (scatter-add) over the observation axis;
+- per-camera 6x6 ``U``, per-point 3x3 ``V`` and the RHS accumulate over
+  the observation axis with a backend-dispatched segment-sum
+  formulation (``segment_mode``): scatter-add on CPU; on TPU one-hot
+  MXU matmuls (camera axis) + Kronecker-factored point one-hots —
+  colliding scatters serialize there (measured r5, BASELINE.md);
 - the camera-point coupling is materialized dense — but only over the
   FREE cameras: a fixed camera never enters the Schur system (its update
   is pinned to zero; its observations still shape ``V`` and the point
