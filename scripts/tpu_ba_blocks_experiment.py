@@ -43,7 +43,7 @@ ap.add_argument("--variant", required=True,
                 choices=["full", "resid", "blocks", "blocks_flag",
                          "blocks_mm", "blocks_mm2", "blocks_sc2",
                          "blocks_uq", "useg_only", "vseg_only",
-                         "blocks_fac", "schur", "schur2"])
+                         "blocks_fac", "blocks_win2", "schur", "schur2"])
 ap.add_argument("--cpu", action="store_true")
 ap.add_argument("--shape", default="local64")
 ap.add_argument("--json", default=None)
@@ -250,6 +250,65 @@ def make_fn():
                         obs_pt, obs_fidx].add(
                         bW, unique_indices=True, mode="drop")
                     s = jnp.sum(V) + jnp.sum(g_p) + jnp.sum(Wb) + jnp.sum(bU)
+                return c + s * 1e-12, None
+            out, _ = jax.lax.scan(body, t_shift, None, length=SCAN)
+            return out
+        return run
+
+    if v == "blocks_win2":
+        # window formulation v2: the r5 "sorted" library mode measured
+        # 92 ms/iter, but that conflated (a) vmap(dynamic_slice)
+        # lowering and (b) a bf16 hi/lo coupling split. This isolates
+        # the window DESIGN with (a) a MANUALLY constructed lax.gather
+        # whose slice_sizes=(M, D) expresses the contiguous per-point
+        # window directly, and (b) an exact f32 HIGHEST one-hot matmul
+        # for the coupling. obs here are sorted by (pt, fidx) already.
+        M_pad = nK
+        nO = int(obs_kf.shape[0])
+        starts = jnp.asarray(np.asarray(pt_starts))
+        ends = jnp.asarray(np.asarray(pt_ends))
+        win_valid = (starts[:, None] + jnp.arange(M_pad)[None, :]
+                     < ends[:, None])                        # [nP, M]
+        gd = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(),
+            start_index_map=(0,))
+
+        def windows(vals):
+            flat = vals.reshape(nO, -1)
+            operand = jnp.concatenate(
+                [flat, jnp.zeros((M_pad, flat.shape[1]), flat.dtype)], 0)
+            out = jax.lax.gather(
+                operand, starts[:, None], gd,
+                slice_sizes=(M_pad, flat.shape[1]),
+                indices_are_sorted=True,
+                mode=jax.lax.GatherScatterMode.CLIP)
+            return out * win_valid[..., None]                # [nP, M, D]
+
+        fidx_pad_np = np.full((nP, M_pad), nF, np.int32)
+        st = np.asarray(pt_starts); en = np.asarray(pt_ends)
+        of = np.asarray(obs_fidx)
+        for pp in range(nP):
+            n = min(en[pp] - st[pp], M_pad)
+            fidx_pad_np[pp, :n] = of[st[pp]: st[pp] + n]
+        slot_oh = jnp.asarray(
+            (fidx_pad_np[..., None] == np.arange(nF)[None, None, :])
+            & np.asarray(win_valid)[..., None], jnp.float32)  # [nP,M,nF]
+
+        @jax.jit
+        def run(t_shift):
+            def body(c, _):
+                r, Jc, Jp, w = residjac(c)
+                bU, bV, bgc, bgp, bW = obs_blocks_bcast(r, Jc, Jp, w)
+                V = windows(bV).reshape(nP, M_pad, 3, 3).sum(1)
+                g_p = windows(bgp).sum(1)
+                bW_pad = windows(bW).reshape(nP, M_pad, 18)
+                dnn = (((1,), (1,)), ((0,), (0,)))
+                Wb = jax.lax.dot_general(
+                    slot_oh, bW_pad, dimension_numbers=dnn,
+                    preferred_element_type=jnp.float32,
+                    precision=_HI).reshape(nP, nF, 6, 3)
+                s = (jnp.sum(V) + jnp.sum(g_p) + jnp.sum(Wb)
+                     + jnp.sum(bU) + jnp.sum(bgc))
                 return c + s * 1e-12, None
             out, _ = jax.lax.scan(body, t_shift, None, length=SCAN)
             return out
