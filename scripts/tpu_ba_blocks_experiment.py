@@ -290,9 +290,10 @@ def make_fn():
         for pp in range(nP):
             n = min(en[pp] - st[pp], M_pad)
             fidx_pad_np[pp, :n] = of[st[pp]: st[pp] + n]
-        slot_oh = jnp.asarray(
-            (fidx_pad_np[..., None] == np.arange(nF)[None, None, :])
-            & np.asarray(win_valid)[..., None], jnp.float32)  # [nP,M,nF]
+        # the dense one-hot ([nP, M, nF] f32 = 268 MB at local64) must
+        # be computed ON DEVICE from the 4 MB fidx_pad — baking it as a
+        # program constant exceeds the relay's upload limit (HTTP 413)
+        fidx_pad_j = jnp.asarray(fidx_pad_np)
 
         @jax.jit
         def run(t_shift):
@@ -302,6 +303,9 @@ def make_fn():
                 V = windows(bV).reshape(nP, M_pad, 3, 3).sum(1)
                 g_p = windows(bgp).sum(1)
                 bW_pad = windows(bW).reshape(nP, M_pad, 18)
+                slot_oh = ((fidx_pad_j[..., None]
+                            == jnp.arange(nF)[None, None, :])
+                           & win_valid[..., None]).astype(jnp.float32)
                 dnn = (((1,), (1,)), ((0,), (0,)))
                 Wb = jax.lax.dot_general(
                     slot_oh, bW_pad, dimension_numbers=dnn,
