@@ -411,6 +411,8 @@ class _Orchestrator:
                 out["sequence_keyframes_in_window"] = seq.get(
                     "keyframes_in_T2")
                 out["sequence_lost_frames"] = seq.get("lost_in_T2")
+                if seq.get("ate_cm_T2") is not None:
+                    out["sequence_ate_cm"] = seq["ate_cm_T2"]
         elif extract is not None:
             e = extract["frames_per_s"]
             out = {
