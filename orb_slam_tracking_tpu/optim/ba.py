@@ -269,15 +269,26 @@ def bundle_adjust(
     segment_mode: how the per-camera/per-point blocks accumulate over
     the observation axis (all modes converge to the same optimum; the
     r5 on-chip A/B at the 64-KF scale is in BASELINE.md).
-    - "auto" (default): "factored" on TPU, "scatter" elsewhere —
+    - "auto" (default): "cammajor" on TPU, "scatter" elsewhere —
       resolved at trace time from ``jax.default_backend()``. Colliding
       scatter-adds serialize on TPU (measured: 75% of the LM iteration
       at 64 KF) but are the fastest formulation on CPU.
     - "scatter": ``.at[].add`` segment sums (the original formulation).
+    - "cammajor": ONE per-solve camera-major padded [nG, Mc] layout
+      (exact for any observation distribution — a camera's obs may span
+      multiple rows), then zero scatters anywhere: U/g_c are window
+      reductions + a tiny placement matmul, V/g_p/Wb one batched
+      per-row Kronecker-factored point sum with Wb placed off the row
+      axis. On-chip local64: 63.0 vs factored's 49.9 iters/s (block
+      build 15.8 -> 7.7 ms/iter), identical optimum; local20 340 vs
+      248 iters/s. ``ORB_BA_CAM_WINDOW`` (trace-time, default 256)
+      sets Mc; 256 measured best of {128, 256, 512, 1024} on chip.
     - "factored": camera-axis sums as one-hot MXU matmuls; point-axis
       sums via a Kronecker-factored point one-hot in two exact f32
-      matmul stages (no sorting, no gathers). On-chip local64:
-      49.9 vs 35.7 iters/s, identical optimum.
+      matmul stages (no sorting, no gathers), coupling kept as a
+      scatter. On-chip local64: 49.9 vs 35.7 iters/s, identical
+      optimum. Superseded by "cammajor"; kept for study and as the
+      sharded solver's formulation (obs there are already shard-local).
     - "sorted": per-solve sort + per-point contiguous-window reduces +
       bf16 hi/lo one-hot coupling matmul. Measured SLOWER on chip than
       scatter at local64 (vmapped dynamic_slice lowering) and its
@@ -288,12 +299,13 @@ def bundle_adjust(
     """
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     if segment_mode == "auto":
-        segment_mode = ("factored" if jax.default_backend() == "tpu"
+        segment_mode = ("cammajor" if jax.default_backend() == "tpu"
                         else "scatter")
-    if segment_mode not in ("scatter", "sorted", "unique", "factored"):
+    if segment_mode not in ("scatter", "sorted", "unique", "factored",
+                            "cammajor"):
         raise ValueError(
             f"segment_mode must be one of auto/scatter/sorted/unique/"
-            f"factored, got {segment_mode!r}")
+            f"factored/cammajor, got {segment_mode!r}")
     nK = kf_R.shape[0]
     nP = pts.shape[0]
     nF = nK if max_free_cams is None else min(max_free_cams, nK)
@@ -347,6 +359,81 @@ def bundle_adjust(
         win_iota = jnp.arange(M_pad)
         win_valid = (pt_starts[:, None] + win_iota[None, :]
                      < pt_ends[:, None])                      # [nP, M]
+    if segment_mode == "cammajor":
+        # CAMERA-major padded layout, built ONCE per solve (the obs
+        # layout is pose-independent, so the whole construction is
+        # scan-invariant and amortizes over every LM iteration). Every
+        # prior coupling formulation kept point-major or joint
+        # (pt, fidx) addressing — 16k point windows (tile-amplified
+        # gathers) or [nP x nF] scatters (XLA TPU serializes them).
+        # Camera-major grouping instead packs observations into [nG, Mc]
+        # single-camera rows, after which:
+        #   - U, g_c are plain window reductions + a tiny [nG, nK]
+        #     placement matmul (no scatter, no O-sized one-hot);
+        #   - V, g_p, Wb come out of ONE batched per-row
+        #     Kronecker-factored point segment sum (exact f32 HIGHEST):
+        #     V/g_p = sum over rows, and Wb's camera placement is read
+        #     off the row axis via a [nG, nF] slot matmul — the last
+        #     scatter in the block build is gone.
+        # Measured on chip (scripts/tpu_ba_blocks_experiment.py
+        # blocks_cam, local64): block build 15.77 -> 7.75 ms/iter vs
+        # the factored+scatter-coupling formulation.
+        #
+        # Exactness with STATIC shapes for ANY observation distribution:
+        # a camera's observations may span MULTIPLE rows (rank // Mc),
+        # so no per-camera cap is assumed and nothing is dropped; the
+        # worst-case row count is nG = ceil(O / Mc) + nK (each camera
+        # wastes at most one partial row). Padding cells carry w = 0 and
+        # point 0 — they contribute exactly zero to every block and to
+        # the robust cost.
+        _Mc = int(os.environ.get("ORB_BA_CAM_WINDOW", "256"))
+        O_raw = int(obs_kf.shape[0])
+        Mc = max(8, min(_Mc, O_raw))
+        nG = -(-O_raw // Mc) + nK
+        obs_valid_orig = obs_valid
+        key_c = jnp.where(obs_valid, obs_kf, nK)
+        order_c = jnp.argsort(key_c)
+        kf_s = key_c[order_c]
+        valid_s = kf_s < nK
+        kf_cl = jnp.clip(kf_s, 0, nK - 1)
+        cam_starts = jnp.searchsorted(kf_s, jnp.arange(nK))
+        cam_counts = (jnp.searchsorted(kf_s, jnp.arange(nK), side="right")
+                      - cam_starts)
+        rows_per_cam = -(-cam_counts // Mc)
+        rowstart = jnp.cumsum(rows_per_cam) - rows_per_cam
+        rnk = jnp.arange(O_raw) - cam_starts[kf_cl]
+        row_c = rowstart[kf_cl] + rnk // Mc
+        pos_c = jnp.where(valid_s, row_c * Mc + rnk % Mc, nG * Mc)
+        widx = jnp.full((nG * Mc + 1,), O_raw, jnp.int32).at[pos_c].set(
+            order_c.astype(jnp.int32))[: nG * Mc]
+        group_cam = jnp.full((nG + 1,), nK, jnp.int32).at[
+            jnp.where(valid_s, row_c, nG)
+        ].set(kf_cl, mode="drop")[:nG]
+
+        def _pad_take(a, fill):
+            tail = jnp.full((1,) + a.shape[1:], fill, a.dtype)
+            return jnp.concatenate([a, tail])[widx]
+
+        # the padded arrays REPLACE the originals for the entire solve
+        # (residuals, blocks and robust cost all see w = 0 padding)
+        obs_pt = _pad_take(obs_pt, 0)
+        obs_kf = _pad_take(obs_kf, 0)
+        obs_uv = _pad_take(obs_uv, 0.0)
+        w_info = _pad_take(w_info, 0.0)
+        obs_valid = widx < O_raw
+        _FBc = 128
+        nHc = -(-nP // _FBc)
+        opt_w = obs_pt.reshape(nG, Mc)
+        hi_oh_c = ((opt_w // _FBc)[..., None]
+                   == jnp.arange(nHc)[None, None, :]).astype(jnp.float32)
+        lo_oh_c = ((opt_w % _FBc)[..., None]
+                   == jnp.arange(_FBc)[None, None, :]).astype(jnp.float32)
+        gsel_cam = (group_cam[:, None] == jnp.arange(nK)[None, :]
+                    ).astype(jnp.float32)                      # [nG, nK]
+        gfidx = jnp.where(group_cam < nK,
+                          fidx[jnp.clip(group_cam, 0, nK - 1)], nF)
+        gsel_free = (gfidx[:, None] == jnp.arange(nF)[None, :]
+                     ).astype(jnp.float32)                     # [nG, nF]
     if segment_mode in ("unique", "sorted", "factored"):
         # built AFTER any permutation so it matches the obs order in use
         cam_onehot = (obs_kf[None, :] == jnp.arange(nK)[:, None]
@@ -434,6 +521,33 @@ def bundle_adjust(
                 bgp, unique_indices=True, mode="drop").sum(1)
             Wb = jnp.zeros((nP, nF, 6, 3)).at[uq_pt, uq_fidx].add(
                 bW, unique_indices=True, mode="drop")
+        elif segment_mode == "cammajor":
+            # single-camera rows: U/g_c are window reductions placed by
+            # a [nG, nK] matmul; V/g_p/Wb come out of one batched
+            # factored point sum (payload = 6 sym V + 3 g_p + 18 Wb),
+            # with Wb placed by the [nG, nF] free-slot matmul. All
+            # matmuls are exact f32 (HIGHEST); no scatters anywhere.
+            Ug = bU.reshape(nG, Mc, 36).sum(axis=1)
+            gcg = bgc.reshape(nG, Mc, 6).sum(axis=1)
+            U = jnp.einsum("gk,gi->ki", gsel_cam, Ug,
+                           precision=_HI).reshape(nK, 6, 6)
+            g_c = jnp.einsum("gk,gi->ki", gsel_cam, gcg, precision=_HI)
+            payload = jnp.concatenate(
+                [bV[:, 0, 0:3], bV[:, 1, 1:3], bV[:, 2, 2:3], bgp,
+                 bW.reshape(-1, 18)], axis=1).reshape(nG, Mc, 27)
+            C = lo_oh_c[..., None] * payload[:, :, None, :]
+            S1 = jnp.einsum("gmh,gmld->ghld", hi_oh_c, C,
+                            precision=_HI)                 # [nG,nH,FB,27]
+            per_g = S1.reshape(nG, nHc * _FBc, 27)[:, :nP]
+            seg = per_g[..., :9].sum(axis=0)               # [nP, 9]
+            va, vb, vc = seg[:, 0], seg[:, 1], seg[:, 2]
+            vd, ve, vf = seg[:, 3], seg[:, 4], seg[:, 5]
+            V = jnp.stack([jnp.stack([va, vb, vc], -1),
+                           jnp.stack([vb, vd, ve], -1),
+                           jnp.stack([vc, ve, vf], -1)], axis=-2)
+            g_p = seg[:, 6:9]
+            Wb = jnp.einsum("gpd,gf->pfd", per_g[..., 9:27], gsel_free,
+                            precision=_HI).reshape(nP, nF, 6, 3)
         elif segment_mode == "factored":
             U = jnp.einsum("ko,oij->kij", cam_onehot, bU, precision=_HI)
             g_c = jnp.einsum("ko,oi->ki", cam_onehot, bgc, precision=_HI)
@@ -616,5 +730,12 @@ def bundle_adjust(
     if perm is not None:
         # callers consume obs_inlier in the ORIGINAL observation order
         obs_inlier = jnp.zeros_like(obs_inlier).at[perm].set(obs_inlier)
+    if segment_mode == "cammajor":
+        # gather the padded-layout classification back to the caller's
+        # original observation order ([O_raw]); invalid originals (whose
+        # padded position is the clipped dump cell) are masked off
+        pos_of_orig = jnp.zeros((O_raw,), jnp.int32).at[order_c].set(
+            jnp.minimum(pos_c, nG * Mc - 1).astype(jnp.int32))
+        obs_inlier = obs_inlier[pos_of_orig] & obs_valid_orig
     return BAResult(kf_R=R, kf_t=t, pts=X, cost0=cost0, cost=cost,
                     obs_inlier=obs_inlier)

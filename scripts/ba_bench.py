@@ -197,7 +197,7 @@ def main():
                     help="force jax platform (e.g. cpu)")
     ap.add_argument("--shape", default="local20", choices=sorted(SHAPES))
     ap.add_argument("--segment-mode", default="auto",
-                    choices=["auto", "scatter", "sorted", "unique", "factored"])
+                    choices=["auto", "scatter", "sorted", "unique", "factored", "cammajor"])
     a = ap.parse_args()
     p = make_problem(shape=a.shape)
     if a.dump:

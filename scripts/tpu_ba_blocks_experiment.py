@@ -43,8 +43,12 @@ ap.add_argument("--variant", required=True,
                 choices=["full", "resid", "blocks", "blocks_flag",
                          "blocks_mm", "blocks_mm2", "blocks_sc2",
                          "blocks_uq", "useg_only", "vseg_only",
-                         "blocks_fac", "blocks_win2", "schur", "schur2"])
+                         "blocks_fac", "blocks_win2", "blocks_cam",
+                         "schur", "schur2"])
 ap.add_argument("--cpu", action="store_true")
+ap.add_argument("--selfcheck", action="store_true",
+                help="blocks_cam only: compare one block build against "
+                     "the scatter formulation and exit")
 ap.add_argument("--shape", default="local64")
 ap.add_argument("--json", default=None)
 args = ap.parse_args()
@@ -343,6 +347,111 @@ def make_fn():
                     obs_pt, obs_fidx].add(bW)[:, :nF]
                 s = (jnp.sum(U) + jnp.sum(V) + jnp.sum(g_c) + jnp.sum(g_p)
                      + jnp.sum(Wb))
+                return c + s * 1e-12, None
+            out, _ = jax.lax.scan(body, t_shift, None, length=SCAN)
+            return out
+        return run
+
+    if v == "blocks_cam":
+        # CAMERA-major windows. Every prior coupling formulation kept
+        # point-major or joint (pt, fidx) addressing: 16k point windows
+        # (tile-amplified gathers, 82-92 ms/iter) or [nP x nF] scatters
+        # (serialized, ~10 ms/iter inside blocks_fac). Sorting obs by
+        # CAMERA instead gives only nK contiguous groups, padded host-
+        # side ONCE to a static [nK, Mc] layout (the permutation is
+        # fixed for the whole solve, so per-iteration work needs no
+        # gather at all — residuals/Jacobians are simply computed in
+        # camera order). Then:
+        #   U, g_c : plain reshape-reductions over the window axis —
+        #            no scatter, no one-hot;
+        #   V, g_p,
+        #   Wb     : ONE batched per-camera Kronecker-factored point
+        #            segment sum (payload D = 9+3+18), exact f32
+        #            HIGHEST; V/g_p = sum over the camera batch axis,
+        #            Wb's camera placement is read straight off the
+        #            batch axis via a tiny [nK, nF] slot matmul.
+        # The last scatter in the block build is gone.
+        perm_cam = np.argsort(p["obs_kf"], kind="stable")
+        okc = p["obs_kf"][perm_cam]
+        counts = np.bincount(okc, minlength=nK)
+        Mc = int(counts.max())
+        widx = np.full((nK, Mc), O, np.int64)  # row O = dump slot
+        starts_c = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        for kk in range(nK):
+            widx[kk, :counts[kk]] = perm_cam[
+                starts_c[kk]: starts_c[kk] + counts[kk]]
+        opt_w = jnp.asarray(
+            np.concatenate([p["obs_pt"], [0]])[widx])          # [nK,Mc]
+        ouv_w = jnp.asarray(
+            np.concatenate([p["obs_uv"], np.zeros((1, 2))])[widx],
+            jnp.float32)                                       # [nK,Mc,2]
+        valid_f = jnp.asarray((widx < O).reshape(-1), jnp.float32)
+        Of = nK * Mc
+        opt_f = opt_w.reshape(Of)
+        okf_f = jnp.broadcast_to(
+            jnp.arange(nK)[:, None], (nK, Mc)).reshape(Of)
+        ouv_f = ouv_w.reshape(Of, 2)
+        FB = 128
+        nH = -(-nP // FB)
+        sel = (fidx[:, None] == jnp.arange(nF)[None, :]).astype(
+            jnp.float32)                                       # [nK,nF]
+
+        def build(c):
+            # one-hots from the 256 KB opt_w upload, on device (the
+            # [nK, Mc, nH/FB] f32 masks are 34 MB each — scan-invariant,
+            # XLA hoists them)
+            hi_oh = ((opt_w // FB)[..., None]
+                     == jnp.arange(nH)[None, None, :]).astype(
+                jnp.float32)                                   # [nK,Mc,nH]
+            lo_oh = ((opt_w % FB)[..., None]
+                     == jnp.arange(FB)[None, None, :]).astype(
+                jnp.float32)                                   # [nK,Mc,FB]
+            r, Jc, Jp, _ = _obs_residuals(
+                kf_R, kf_t + c, pts, okf_f, opt_f, ouv_f,
+                K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+            chi2 = jnp.sum(r * r, axis=-1)
+            w = huber_weight(chi2, CHI2) * valid_f
+            bU, bV, bgc, bgp, bW = obs_blocks_bcast(r, Jc, Jp, w)
+            U = bU.reshape(nK, Mc, 6, 6).sum(1)
+            g_c = bgc.reshape(nK, Mc, 6).sum(1)
+            payload = jnp.concatenate(
+                [bV.reshape(Of, 9), bgp, bW.reshape(Of, 18)],
+                axis=1).reshape(nK, Mc, 30)
+            C = lo_oh[..., None] * payload[:, :, None, :]      # [nK,Mc,FB,30]
+            S1 = jnp.einsum("kmh,kmld->khld", hi_oh, C,
+                            precision=_HI)                     # [nK,nH,FB,30]
+            per_cam = S1.reshape(nK, nH * FB, 30)[:, :nP]
+            V = per_cam[..., :9].sum(0).reshape(nP, 3, 3)
+            g_p = per_cam[..., 9:12].sum(0)
+            Wb = jnp.einsum("kpd,kf->pfd", per_cam[..., 12:30],
+                            sel, precision=_HI).reshape(nP, nF, 6, 3)
+            return U, g_c, V, g_p, Wb
+
+        if args.selfcheck:
+            U, g_c, V, g_p, Wb = jax.jit(build)(jnp.zeros(3))
+            r, Jc, Jp, w = residjac(jnp.zeros(3))
+            bU, bV, bgc, bgp, bW = obs_blocks_bcast(r, Jc, Jp, w)
+            U0 = jnp.zeros((nK, 6, 6)).at[obs_kf].add(bU)
+            gc0 = jnp.zeros((nK, 6)).at[obs_kf].add(bgc)
+            V0 = jnp.zeros((nP, 3, 3)).at[obs_pt].add(bV)
+            gp0 = jnp.zeros((nP, 3)).at[obs_pt].add(bgp)
+            Wb0 = jnp.zeros((nP, nF + 1, 6, 3)).at[
+                obs_pt, obs_fidx].add(bW)[:, :nF]
+            for name, a, b in (("U", U, U0), ("g_c", g_c, gc0),
+                               ("V", V, V0), ("g_p", g_p, gp0),
+                               ("Wb", Wb, Wb0)):
+                d = float(jnp.max(jnp.abs(a - b)))
+                rel = d / (float(jnp.max(jnp.abs(b))) + 1e-30)
+                print(f"selfcheck {name}: max abs diff {d:.3e} "
+                      f"(rel {rel:.3e})")
+            sys.exit(0)
+
+        @jax.jit
+        def run(t_shift):
+            def body(c, _):
+                U, g_c, V, g_p, Wb = build(c)
+                s = (jnp.sum(U) + jnp.sum(V) + jnp.sum(g_c)
+                     + jnp.sum(g_p) + jnp.sum(Wb))
                 return c + s * 1e-12, None
             out, _ = jax.lax.scan(body, t_shift, None, length=SCAN)
             return out

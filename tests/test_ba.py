@@ -369,6 +369,58 @@ def test_segment_mode_factored_matches_scatter(rng):
                                atol=5e-3)
 
 
+def test_segment_mode_cammajor_multi_row_camera(rng):
+    """cammajor must stay exact when one camera's observation count
+    exceeds the Mc row width (default 256): its observations span
+    MULTIPLE [Mc] rows and nothing may be dropped. Build a problem
+    where camera 0 carries ~300 observations (> 256) plus invalid
+    fillers and a fixed camera, and require the scatter optimum."""
+    nK, nP = 4, 320
+    kf_R0 = np.stack([np.eye(3, dtype=np.float32)] * nK)
+    kf_t0 = rng.normal(0, 0.05, (nK, 3)).astype(np.float32)
+    kf_t0[:, 2] -= 2.0
+    pts = rng.normal(0, 0.8, (nP, 3)).astype(np.float32)
+    # camera 0 sees every point (320 obs > Mc); the others see half
+    obs_kf, obs_pt = [], []
+    for k in range(nK):
+        seen = np.arange(nP) if k == 0 else np.arange(0, nP, 2)
+        obs_kf.append(np.full(len(seen), k, np.int32))
+        obs_pt.append(seen.astype(np.int32))
+    obs_kf = np.concatenate(obs_kf)
+    obs_pt = np.concatenate(obs_pt)
+    O = len(obs_kf)
+    # project with the true geometry + noise for a well-posed problem
+    fx, fy, cx, cy = K[0][0], K[1][1], K[0][2], K[1][2]
+    X = pts[obs_pt] + kf_t0[obs_kf]
+    obs_uv = np.stack([fx * X[:, 0] / X[:, 2] + cx,
+                       fy * X[:, 1] / X[:, 2] + cy], 1).astype(np.float32)
+    obs_uv += rng.normal(0, 0.5, obs_uv.shape).astype(np.float32)
+    valid = np.ones(O, bool)
+    valid[::13] = False
+    fixed = np.zeros(nK, bool)
+    fixed[0] = True
+    common = (jnp.asarray(obs_kf), jnp.asarray(obs_pt),
+              jnp.asarray(obs_uv), jnp.ones(O), jnp.asarray(valid),
+              jnp.asarray(fixed), jnp.ones(nP, bool), jnp.asarray(K))
+    a = bundle_adjust(jnp.asarray(kf_R0), jnp.asarray(kf_t0),
+                      jnp.asarray(pts), *common, iterations=10,
+                      segment_mode="scatter")
+    b = bundle_adjust(jnp.asarray(kf_R0), jnp.asarray(kf_t0),
+                      jnp.asarray(pts), *common, iterations=10,
+                      segment_mode="cammajor")
+    assert float(b.cost) < float(b.cost0)
+    assert abs(float(a.cost) - float(b.cost)) < 1e-3 * abs(float(a.cost))
+    np.testing.assert_allclose(np.asarray(a.kf_t), np.asarray(b.kf_t),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(a.pts), np.asarray(b.pts),
+                               atol=5e-3)
+    # the inlier mask must come back in the ORIGINAL observation order
+    assert np.asarray(b.obs_inlier).shape == (O,)
+    assert not np.asarray(b.obs_inlier)[~valid].any()
+    assert (np.asarray(a.obs_inlier) == np.asarray(b.obs_inlier)).mean() \
+        > 0.99
+
+
 def test_segment_mode_unique_bounded_window(rng):
     """unique mode with a bounded free-camera window: out-of-window
     couplings must drop exactly as the scatter path's dump slot drops
@@ -416,7 +468,7 @@ def test_segment_modes_with_map_filler_padding(rng):
     ref = bundle_adjust(jnp.asarray(kf_R0), jnp.asarray(kf_t0),
                         jnp.asarray(pts0), *common, iterations=10,
                         segment_mode="scatter")
-    for mode in ("sorted", "unique", "factored"):
+    for mode in ("sorted", "unique", "factored", "cammajor"):
         got = bundle_adjust(jnp.asarray(kf_R0), jnp.asarray(kf_t0),
                             jnp.asarray(pts0), *common, iterations=10,
                             segment_mode=mode)
@@ -446,7 +498,7 @@ def test_segment_mode_unknown_raises():
 
 def test_segment_mode_auto_resolves_per_backend(monkeypatch):
     """'auto' must resolve to scatter on CPU (tests run there) and the
-    string must reach the factored path on TPU — pinned by checking the
+    string must reach the cammajor path on TPU — pinned by checking the
     resolution logic directly."""
     import jax
 
