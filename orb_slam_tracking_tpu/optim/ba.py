@@ -51,7 +51,8 @@ from ..geometry import se3
 from .lm import huber_weight, inv3x3, nielsen_update
 
 __all__ = ["BAResult", "bundle_adjust", "inv3x3",
-           "make_factored_point_segment_sum", "factored_V_gp"]
+           "make_factored_point_segment_sum", "factored_V_gp",
+           "CamMajorPack", "make_cammajor_pack", "cammajor_block_build"]
 
 _CHI2_MONO = 5.991
 _HI = jax.lax.Precision.HIGHEST
@@ -193,6 +194,123 @@ def factored_V_gp(point_segment_sum, bV: jnp.ndarray, bgp: jnp.ndarray):
         jnp.stack([c, e, f], -1),
     ], axis=-2)
     return V, seg[:, 6:9]
+
+
+class CamMajorPack(NamedTuple):
+    """Per-solve camera-major padded observation layout (see
+    ``bundle_adjust`` segment_mode="cammajor"). Built ONCE per solve —
+    the layout is pose-independent — and shared by the single-chip and
+    sharded solvers (``parallel/ba_sharded.py``: obs there are
+    shard-local, so the pack is built per shard with no collectives)."""
+    obs_kf: jnp.ndarray     # [O'] padded, camera-major
+    obs_pt: jnp.ndarray     # [O'] padded
+    obs_uv: jnp.ndarray     # [O', 2]
+    w_info: jnp.ndarray     # [O'] information weights, 0 on padding
+    obs_valid: jnp.ndarray  # [O'] bool
+    hi_oh: jnp.ndarray      # [nG, Mc, nH] point-high one-hot (f32)
+    lo_oh: jnp.ndarray      # [nG, Mc, FB] point-low one-hot (f32)
+    gsel_cam: jnp.ndarray   # [nG, nK] row -> camera placement
+    gsel_free: jnp.ndarray  # [nG, nF] row -> free-slot placement
+    order_c: jnp.ndarray    # [O_raw] camera-sort permutation
+    pos_c: jnp.ndarray      # [O_raw] padded cell of each sorted obs
+    nG: int
+    Mc: int
+    O_raw: int
+
+
+def make_cammajor_pack(obs_kf, obs_pt, obs_uv, w_info, obs_valid,
+                       n_cams: int, n_points: int, fidx, nF: int,
+                       ) -> CamMajorPack:
+    """Build the camera-major [nG, Mc] padded layout. Exact with STATIC
+    shapes for ANY observation distribution: a camera's observations may
+    span MULTIPLE rows (rank // Mc), so no per-camera cap is assumed and
+    nothing is dropped; the worst-case row count is
+    nG = ceil(O / Mc) + n_cams (each camera wastes at most one partial
+    row). Padding cells carry w = 0 and point 0 — they contribute
+    exactly zero to every block and to the robust cost."""
+    _Mc = int(os.environ.get("ORB_BA_CAM_WINDOW", "256"))
+    O_raw = int(obs_kf.shape[0])
+    Mc = max(8, min(_Mc, O_raw))
+    nG = -(-O_raw // Mc) + n_cams
+    key_c = jnp.where(obs_valid, obs_kf, n_cams)
+    order_c = jnp.argsort(key_c)
+    kf_s = key_c[order_c]
+    valid_s = kf_s < n_cams
+    kf_cl = jnp.clip(kf_s, 0, n_cams - 1)
+    cam_starts = jnp.searchsorted(kf_s, jnp.arange(n_cams))
+    cam_counts = (jnp.searchsorted(kf_s, jnp.arange(n_cams), side="right")
+                  - cam_starts)
+    rows_per_cam = -(-cam_counts // Mc)
+    rowstart = jnp.cumsum(rows_per_cam) - rows_per_cam
+    rnk = jnp.arange(O_raw) - cam_starts[kf_cl]
+    row_c = rowstart[kf_cl] + rnk // Mc
+    pos_c = jnp.where(valid_s, row_c * Mc + rnk % Mc, nG * Mc)
+    widx = jnp.full((nG * Mc + 1,), O_raw, jnp.int32).at[pos_c].set(
+        order_c.astype(jnp.int32))[: nG * Mc]
+    group_cam = jnp.full((nG + 1,), n_cams, jnp.int32).at[
+        jnp.where(valid_s, row_c, nG)
+    ].set(kf_cl, mode="drop")[:nG]
+
+    def _pad_take(a, fill):
+        tail = jnp.full((1,) + a.shape[1:], fill, a.dtype)
+        return jnp.concatenate([a, tail])[widx]
+
+    _FBc = 128
+    nHc = -(-n_points // _FBc)
+    opt_p = _pad_take(obs_pt, 0)
+    opt_w = opt_p.reshape(nG, Mc)
+    hi_oh = ((opt_w // _FBc)[..., None]
+             == jnp.arange(nHc)[None, None, :]).astype(jnp.float32)
+    lo_oh = ((opt_w % _FBc)[..., None]
+             == jnp.arange(_FBc)[None, None, :]).astype(jnp.float32)
+    gsel_cam = (group_cam[:, None] == jnp.arange(n_cams)[None, :]
+                ).astype(jnp.float32)
+    gfidx = jnp.where(group_cam < n_cams,
+                      fidx[jnp.clip(group_cam, 0, n_cams - 1)], nF)
+    gsel_free = (gfidx[:, None] == jnp.arange(nF)[None, :]
+                 ).astype(jnp.float32)
+    return CamMajorPack(
+        obs_kf=_pad_take(obs_kf, 0), obs_pt=opt_p,
+        obs_uv=_pad_take(obs_uv, 0.0), w_info=_pad_take(w_info, 0.0),
+        obs_valid=widx < O_raw, hi_oh=hi_oh, lo_oh=lo_oh,
+        gsel_cam=gsel_cam, gsel_free=gsel_free, order_c=order_c,
+        pos_c=pos_c, nG=nG, Mc=Mc, O_raw=O_raw)
+
+
+def cammajor_block_build(pack: CamMajorPack, n_points: int, nF: int,
+                         bU, bV, bgc, bgp, bW):
+    """Scatter-free block build over the camera-major layout: U/g_c are
+    window reductions placed by a [nG, nK] matmul; V/g_p/Wb come out of
+    ONE batched per-row Kronecker-factored point sum (payload = 6 sym V
+    + 3 g_p + 18 Wb, exact f32 HIGHEST), with Wb placed by the [nG, nF]
+    free-slot matmul. Measured on chip (local64): block build
+    15.77 -> 7.75 ms/iter vs factored + scatter coupling."""
+    nG, Mc = pack.nG, pack.Mc
+    _FBc = pack.lo_oh.shape[-1]
+    nHc = pack.hi_oh.shape[-1]
+    Ug = bU.reshape(nG, Mc, 36).sum(axis=1)
+    gcg = bgc.reshape(nG, Mc, 6).sum(axis=1)
+    nK = pack.gsel_cam.shape[1]
+    U = jnp.einsum("gk,gi->ki", pack.gsel_cam, Ug,
+                   precision=_HI).reshape(nK, 6, 6)
+    g_c = jnp.einsum("gk,gi->ki", pack.gsel_cam, gcg, precision=_HI)
+    payload = jnp.concatenate(
+        [bV[:, 0, 0:3], bV[:, 1, 1:3], bV[:, 2, 2:3], bgp,
+         bW.reshape(-1, 18)], axis=1).reshape(nG, Mc, 27)
+    C = pack.lo_oh[..., None] * payload[:, :, None, :]
+    S1 = jnp.einsum("gmh,gmld->ghld", pack.hi_oh, C,
+                    precision=_HI)                     # [nG,nH,FB,27]
+    per_g = S1.reshape(nG, nHc * _FBc, 27)[:, :n_points]
+    seg = per_g[..., :9].sum(axis=0)                   # [nP, 9]
+    va, vb, vc = seg[:, 0], seg[:, 1], seg[:, 2]
+    vd, ve, vf = seg[:, 3], seg[:, 4], seg[:, 5]
+    V = jnp.stack([jnp.stack([va, vb, vc], -1),
+                   jnp.stack([vb, vd, ve], -1),
+                   jnp.stack([vc, ve, vf], -1)], axis=-2)
+    g_p = seg[:, 6:9]
+    Wb = jnp.einsum("gpd,gf->pfd", per_g[..., 9:27], pack.gsel_free,
+                    precision=_HI).reshape(n_points, nF, 6, 3)
+    return U, g_c, V, g_p, Wb
 
 
 def _point_windows(vals: jnp.ndarray, starts: jnp.ndarray, m_pad: int,
@@ -365,75 +483,16 @@ def bundle_adjust(
         # scan-invariant and amortizes over every LM iteration). Every
         # prior coupling formulation kept point-major or joint
         # (pt, fidx) addressing — 16k point windows (tile-amplified
-        # gathers) or [nP x nF] scatters (XLA TPU serializes them).
-        # Camera-major grouping instead packs observations into [nG, Mc]
-        # single-camera rows, after which:
-        #   - U, g_c are plain window reductions + a tiny [nG, nK]
-        #     placement matmul (no scatter, no O-sized one-hot);
-        #   - V, g_p, Wb come out of ONE batched per-row
-        #     Kronecker-factored point segment sum (exact f32 HIGHEST):
-        #     V/g_p = sum over rows, and Wb's camera placement is read
-        #     off the row axis via a [nG, nF] slot matmul — the last
-        #     scatter in the block build is gone.
-        # Measured on chip (scripts/tpu_ba_blocks_experiment.py
-        # blocks_cam, local64): block build 15.77 -> 7.75 ms/iter vs
-        # the factored+scatter-coupling formulation.
-        #
-        # Exactness with STATIC shapes for ANY observation distribution:
-        # a camera's observations may span MULTIPLE rows (rank // Mc),
-        # so no per-camera cap is assumed and nothing is dropped; the
-        # worst-case row count is nG = ceil(O / Mc) + nK (each camera
-        # wastes at most one partial row). Padding cells carry w = 0 and
-        # point 0 — they contribute exactly zero to every block and to
-        # the robust cost.
-        _Mc = int(os.environ.get("ORB_BA_CAM_WINDOW", "256"))
-        O_raw = int(obs_kf.shape[0])
-        Mc = max(8, min(_Mc, O_raw))
-        nG = -(-O_raw // Mc) + nK
+        # gathers) or [nP x nF] scatters (XLA TPU serializes them);
+        # camera-major grouping removes the last scatter from the block
+        # build (see make_cammajor_pack / cammajor_block_build).
         obs_valid_orig = obs_valid
-        key_c = jnp.where(obs_valid, obs_kf, nK)
-        order_c = jnp.argsort(key_c)
-        kf_s = key_c[order_c]
-        valid_s = kf_s < nK
-        kf_cl = jnp.clip(kf_s, 0, nK - 1)
-        cam_starts = jnp.searchsorted(kf_s, jnp.arange(nK))
-        cam_counts = (jnp.searchsorted(kf_s, jnp.arange(nK), side="right")
-                      - cam_starts)
-        rows_per_cam = -(-cam_counts // Mc)
-        rowstart = jnp.cumsum(rows_per_cam) - rows_per_cam
-        rnk = jnp.arange(O_raw) - cam_starts[kf_cl]
-        row_c = rowstart[kf_cl] + rnk // Mc
-        pos_c = jnp.where(valid_s, row_c * Mc + rnk % Mc, nG * Mc)
-        widx = jnp.full((nG * Mc + 1,), O_raw, jnp.int32).at[pos_c].set(
-            order_c.astype(jnp.int32))[: nG * Mc]
-        group_cam = jnp.full((nG + 1,), nK, jnp.int32).at[
-            jnp.where(valid_s, row_c, nG)
-        ].set(kf_cl, mode="drop")[:nG]
-
-        def _pad_take(a, fill):
-            tail = jnp.full((1,) + a.shape[1:], fill, a.dtype)
-            return jnp.concatenate([a, tail])[widx]
-
+        _cm = make_cammajor_pack(obs_kf, obs_pt, obs_uv, w_info,
+                                 obs_valid, nK, nP, fidx, nF)
         # the padded arrays REPLACE the originals for the entire solve
         # (residuals, blocks and robust cost all see w = 0 padding)
-        obs_pt = _pad_take(obs_pt, 0)
-        obs_kf = _pad_take(obs_kf, 0)
-        obs_uv = _pad_take(obs_uv, 0.0)
-        w_info = _pad_take(w_info, 0.0)
-        obs_valid = widx < O_raw
-        _FBc = 128
-        nHc = -(-nP // _FBc)
-        opt_w = obs_pt.reshape(nG, Mc)
-        hi_oh_c = ((opt_w // _FBc)[..., None]
-                   == jnp.arange(nHc)[None, None, :]).astype(jnp.float32)
-        lo_oh_c = ((opt_w % _FBc)[..., None]
-                   == jnp.arange(_FBc)[None, None, :]).astype(jnp.float32)
-        gsel_cam = (group_cam[:, None] == jnp.arange(nK)[None, :]
-                    ).astype(jnp.float32)                      # [nG, nK]
-        gfidx = jnp.where(group_cam < nK,
-                          fidx[jnp.clip(group_cam, 0, nK - 1)], nF)
-        gsel_free = (gfidx[:, None] == jnp.arange(nF)[None, :]
-                     ).astype(jnp.float32)                     # [nG, nF]
+        obs_kf, obs_pt, obs_uv = _cm.obs_kf, _cm.obs_pt, _cm.obs_uv
+        w_info, obs_valid = _cm.w_info, _cm.obs_valid
     if segment_mode in ("unique", "sorted", "factored"):
         # built AFTER any permutation so it matches the obs order in use
         cam_onehot = (obs_kf[None, :] == jnp.arange(nK)[:, None]
@@ -522,32 +581,8 @@ def bundle_adjust(
             Wb = jnp.zeros((nP, nF, 6, 3)).at[uq_pt, uq_fidx].add(
                 bW, unique_indices=True, mode="drop")
         elif segment_mode == "cammajor":
-            # single-camera rows: U/g_c are window reductions placed by
-            # a [nG, nK] matmul; V/g_p/Wb come out of one batched
-            # factored point sum (payload = 6 sym V + 3 g_p + 18 Wb),
-            # with Wb placed by the [nG, nF] free-slot matmul. All
-            # matmuls are exact f32 (HIGHEST); no scatters anywhere.
-            Ug = bU.reshape(nG, Mc, 36).sum(axis=1)
-            gcg = bgc.reshape(nG, Mc, 6).sum(axis=1)
-            U = jnp.einsum("gk,gi->ki", gsel_cam, Ug,
-                           precision=_HI).reshape(nK, 6, 6)
-            g_c = jnp.einsum("gk,gi->ki", gsel_cam, gcg, precision=_HI)
-            payload = jnp.concatenate(
-                [bV[:, 0, 0:3], bV[:, 1, 1:3], bV[:, 2, 2:3], bgp,
-                 bW.reshape(-1, 18)], axis=1).reshape(nG, Mc, 27)
-            C = lo_oh_c[..., None] * payload[:, :, None, :]
-            S1 = jnp.einsum("gmh,gmld->ghld", hi_oh_c, C,
-                            precision=_HI)                 # [nG,nH,FB,27]
-            per_g = S1.reshape(nG, nHc * _FBc, 27)[:, :nP]
-            seg = per_g[..., :9].sum(axis=0)               # [nP, 9]
-            va, vb, vc = seg[:, 0], seg[:, 1], seg[:, 2]
-            vd, ve, vf = seg[:, 3], seg[:, 4], seg[:, 5]
-            V = jnp.stack([jnp.stack([va, vb, vc], -1),
-                           jnp.stack([vb, vd, ve], -1),
-                           jnp.stack([vc, ve, vf], -1)], axis=-2)
-            g_p = seg[:, 6:9]
-            Wb = jnp.einsum("gpd,gf->pfd", per_g[..., 9:27], gsel_free,
-                            precision=_HI).reshape(nP, nF, 6, 3)
+            U, g_c, V, g_p, Wb = cammajor_block_build(
+                _cm, nP, nF, bU, bV, bgc, bgp, bW)
         elif segment_mode == "factored":
             U = jnp.einsum("ko,oij->kij", cam_onehot, bU, precision=_HI)
             g_c = jnp.einsum("ko,oi->ki", cam_onehot, bgc, precision=_HI)
@@ -734,8 +769,9 @@ def bundle_adjust(
         # gather the padded-layout classification back to the caller's
         # original observation order ([O_raw]); invalid originals (whose
         # padded position is the clipped dump cell) are masked off
-        pos_of_orig = jnp.zeros((O_raw,), jnp.int32).at[order_c].set(
-            jnp.minimum(pos_c, nG * Mc - 1).astype(jnp.int32))
+        pos_of_orig = jnp.zeros((_cm.O_raw,), jnp.int32).at[
+            _cm.order_c].set(jnp.minimum(
+                _cm.pos_c, _cm.nG * _cm.Mc - 1).astype(jnp.int32))
         obs_inlier = obs_inlier[pos_of_orig] & obs_valid_orig
     return BAResult(kf_R=R, kf_t=t, pts=X, cost0=cost0, cost=cost,
                     obs_inlier=obs_inlier)

@@ -33,7 +33,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..geometry import se3
-from ..optim.ba import (factored_V_gp, inv3x3,
+from ..optim.ba import (cammajor_block_build, factored_V_gp, inv3x3,
+                        make_cammajor_pack,
                         make_factored_point_segment_sum)
 from ..optim.lm import huber_weight, nielsen_update
 
@@ -133,14 +134,16 @@ def bundle_adjust_sharded(
     collectives shrink with it too.
 
     ``segment_mode``: "auto" resolves per backend like
-    ``optim.ba.bundle_adjust`` — "factored" (Kronecker point one-hot,
-    shard-local: obs_pt is already shard-local so no cross-device work
-    changes) on TPU, "scatter" elsewhere. Collectives are identical in
-    either mode.
+    ``optim.ba.bundle_adjust`` — "cammajor" (per-shard camera-major
+    padded layout, zero scatters in the block build: obs are already
+    shard-local, so the pack is built inside each shard with no
+    collectives) on TPU, "scatter" elsewhere; "factored" (Kronecker
+    point one-hot + Wb scatter) kept for study. Collectives are
+    identical in every mode.
     """
     axis = mesh.axis_names[0]
     if segment_mode == "auto":
-        segment_mode = ("factored" if jax.default_backend() == "tpu"
+        segment_mode = ("cammajor" if jax.default_backend() == "tpu"
                         else "scatter")
     nK = kf_R.shape[0]
     nF = nK if max_free_cams is None else min(max_free_cams, nK)
@@ -160,6 +163,16 @@ def bundle_adjust_sharded(
         fidx = jnp.where(free_cam, jnp.minimum(free_rank, nF - 1), nF)
         obs_fidx = fidx[obs_kf]
         n_free = jnp.sum(free_cam.astype(jnp.int32))
+        if segment_mode == "cammajor":
+            # per-shard camera-major pack (obs are shard-local; the
+            # layout build is pure local array code — no collectives).
+            # The padded arrays replace the originals for the whole
+            # solve; padding carries w = 0 and is exact in every block
+            # and in the psum'd robust cost.
+            _cm = make_cammajor_pack(obs_kf, obs_pt, obs_uv, w_info,
+                                     obs_valid, nK, nP_local, fidx, nF)
+            obs_kf, obs_pt, obs_uv = _cm.obs_kf, _cm.obs_pt, _cm.obs_uv
+            w_info, obs_valid = _cm.w_info, _cm.obs_valid
         if segment_mode == "factored":
             cam_onehot = (obs_kf[None, :] == jnp.arange(nK)[:, None]
                           ).astype(jnp.float32)               # [nK, O]
@@ -184,12 +197,6 @@ def bundle_adjust_sharded(
             # per-obs outer products as broadcast multiply-adds (exact;
             # the einsum forms are batched 6x2 @ 2x6 matmuls whose tiny
             # tiles lower pathologically — optim/ba.py, measured r5).
-            # NOTE: the segment sums here are still `.at[].add` scatters,
-            # which the r5 single-chip isolation measured as the dominant
-            # cost at the 64-KF scale; the sorted point-window
-            # restructure (optim/ba.py segment_mode="sorted") is the
-            # port target for real multi-chip deployments — it needs
-            # bucket_observations to emit per-shard point-sorted order.
             Jcw = Jc * w[:, None, None]
             Jpw = Jp * w[:, None, None]
             bU = (Jcw[:, 0, :, None] * Jc[:, 0, None, :]
@@ -200,19 +207,24 @@ def bundle_adjust_sharded(
             bgp = Jpw[:, 0] * r[:, 0, None] + Jpw[:, 1] * r[:, 1, None]
             bW = (Jcw[:, 0, :, None] * Jp[:, 0, None, :]
                   + Jcw[:, 1, :, None] * Jp[:, 1, None, :])
-            if segment_mode == "factored":
+            if segment_mode == "cammajor":
+                U_local, g_c_local, V, g_p, Wb = cammajor_block_build(
+                    _cm, nP_local, nF, bU, bV, bgc, bgp, bW)
+            elif segment_mode == "factored":
                 U_local = jnp.einsum("ko,oij->kij", cam_onehot, bU,
                                      precision=jax.lax.Precision.HIGHEST)
                 g_c_local = jnp.einsum("ko,oi->ki", cam_onehot, bgc,
                                        precision=jax.lax.Precision.HIGHEST)
                 V, g_p = factored_V_gp(_point_segment_sum, bV, bgp)
+                Wb = jnp.zeros((nP_local, nF + 1, 6, 3)).at[
+                    obs_pt, obs_fidx].add(bW)[:, :nF]
             else:
                 V = jnp.zeros((nP_local, 3, 3)).at[obs_pt].add(bV)
                 g_p = jnp.zeros((nP_local, 3)).at[obs_pt].add(bgp)
                 U_local = jnp.zeros((nK, 6, 6)).at[obs_kf].add(bU)
                 g_c_local = jnp.zeros((nK, 6)).at[obs_kf].add(bgc)
-            Wb = jnp.zeros((nP_local, nF + 1, 6, 3)).at[obs_pt, obs_fidx].add(
-                bW)[:, :nF]
+                Wb = jnp.zeros((nP_local, nF + 1, 6, 3)).at[
+                    obs_pt, obs_fidx].add(bW)[:, :nF]
 
             eyeP = jnp.eye(3)
             Vd = V + lam * eyeP * jnp.diagonal(V, axis1=-2, axis2=-1)[:, None, :]

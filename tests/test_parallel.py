@@ -106,6 +106,13 @@ def test_sharded_ba_factored_matches_scatter(rng):
     assert abs(float(ca) - float(cb)) < 1e-3 * abs(float(ca))
     np.testing.assert_allclose(np.asarray(ta), np.asarray(tb), atol=5e-4)
     np.testing.assert_allclose(np.asarray(Xa), np.asarray(Xb), atol=5e-3)
+    # cammajor (the TPU "auto" resolution since late r5): the per-shard
+    # camera-major pack must also reproduce the scatter optimum
+    Rc, tc, Xc, cc = bundle_adjust_sharded(
+        *args, iterations=8, segment_mode="cammajor")
+    assert abs(float(ca) - float(cc)) < 1e-3 * abs(float(ca))
+    np.testing.assert_allclose(np.asarray(ta), np.asarray(tc), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(Xa), np.asarray(Xc), atol=5e-3)
 
 
 def test_bucket_observations_roundtrip(rng):
